@@ -1,0 +1,218 @@
+"""6-DoF quaternion rocket powered-descent model (Szmuk-Acikmese).
+
+State (nx=14):  x = (m, r_I[3], v_I[3], q_{I<-B}[4], omega_B[3]), inertial up = e1.
+Control (nu=3): u = T_B, thrust vector in the body frame (nominal direction +e1).
+
+Continuous dynamics (SURVEY.md §2.1 C2; mathematically forced by the problem class):
+    mdot     = -alpha_m * ||T||
+    rdot     = v
+    vdot     = C_IB(q) T / m + g_I
+    qdot     = 0.5 * q ⊗ (0, omega)
+    omegadot = J^-1 (r_T x T - omega x J omega)
+
+Per-node convex constraints (SURVEY.md §2.2 cone inventory), in deltas about
+(xbar, ubar) with x = xbar + dx:
+    mass        m >= m_dry                                   linear
+    glideslope  tan(gamma_gs) ||r_{2,3}|| <= r_1             SOC(3)
+    tilt        ||(q2, q3)|| <= sqrt((1-cos th_max)/2)       SOC(3)
+    rate        ||omega|| <= omega_max                       SOC(4)
+    thrust ub   ||T|| <= T_max                               SOC(4)
+    thrust lb   T_min <= nhat' T, nhat = ubar/||ubar||       linear (linearized)
+    gimbal      cos(delta_max) ||T|| <= e1' T                SOC(4)
+
+Default parameters follow the nondimensionalized test case of the Szmuk-Acikmese
+free-final-time paper family (PAPERS.md; arXiv:1802.03827 lineage) so single solves
+converge in O(10) SCvx iterations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from successiveconvexification_tpu.models.base import Model, safe_norm
+from successiveconvexification_tpu.utils.quaternion import (
+    quat_kinematics,
+    quat_to_dcm,
+)
+
+NX = 14
+NU = 3
+
+# state layout indices
+I_M = 0
+I_R = slice(1, 4)
+I_V = slice(4, 7)
+I_Q = slice(7, 11)
+I_W = slice(11, 14)
+
+
+@struct.dataclass
+class Rocket6DoFParams:
+    """Traced physical parameters (batchable for dispersion sweeps)."""
+
+    m_wet: jnp.ndarray
+    m_dry: jnp.ndarray
+    alpha_m: jnp.ndarray          # 1 / (Isp * g0): mass-depletion rate per thrust
+    T_min: jnp.ndarray
+    T_max: jnp.ndarray
+    cos_delta_max: jnp.ndarray    # gimbal half-angle cosine
+    tan_gamma_gs: jnp.ndarray     # glideslope: tan of min elevation from horizontal
+    c_tilt: jnp.ndarray           # sqrt((1 - cos(theta_max)) / 2)
+    omega_max: jnp.ndarray
+    J_b: jnp.ndarray              # principal inertia diagonal, shape (3,)
+    r_t: jnp.ndarray              # thrust application point in body frame, shape (3,)
+    g_i: jnp.ndarray              # inertial gravity, shape (3,)
+    r_init: jnp.ndarray           # (3,)
+    v_init: jnp.ndarray           # (3,)
+    q_init: jnp.ndarray           # (4,)
+    w_init: jnp.ndarray           # (3,)
+    r_final: jnp.ndarray          # (3,)
+    v_final: jnp.ndarray          # (3,)
+    tf_guess: jnp.ndarray         # initial time-of-flight guess (sigma_bar init)
+
+
+def default_params(dtype=jnp.float32) -> Rocket6DoFParams:
+    """Nondimensional benchmark landing scenario (converges in ~10 SCvx iters)."""
+    f = lambda *v: jnp.asarray(v if len(v) > 1 else v[0], dtype=dtype)
+    return Rocket6DoFParams(
+        m_wet=f(2.0),
+        m_dry=f(1.0),
+        alpha_m=f(0.07),
+        T_min=f(0.3),
+        T_max=f(5.0),
+        cos_delta_max=f(jnp.cos(jnp.deg2rad(20.0))),
+        tan_gamma_gs=f(jnp.tan(jnp.deg2rad(20.0))),
+        c_tilt=f(jnp.sqrt((1.0 - jnp.cos(jnp.deg2rad(90.0))) / 2.0)),
+        omega_max=f(jnp.deg2rad(60.0)),
+        J_b=f(1e-2, 1e-2, 1e-2),
+        r_t=f(-1e-2, 0.0, 0.0),
+        g_i=f(-1.0, 0.0, 0.0),
+        r_init=f(4.0, 4.0, 0.0),
+        v_init=f(0.0, -3.0, -1.0),
+        q_init=f(1.0, 0.0, 0.0, 0.0),
+        w_init=f(0.0, 0.0, 0.0),
+        r_final=f(0.0, 0.0, 0.0),
+        v_final=f(-1e-1, 0.0, 0.0),
+        tf_guess=f(5.0),
+    )
+
+
+def dynamics(params: Rocket6DoFParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    m = x[I_M]
+    v = x[I_V]
+    q = x[I_Q]
+    w = x[I_W]
+
+    C_ib = quat_to_dcm(q)
+    thrust_i = C_ib @ u
+
+    mdot = -params.alpha_m * safe_norm(u)
+    rdot = v
+    vdot = thrust_i / m + params.g_i
+    qdot = quat_kinematics(q, w)
+    Jw = params.J_b * w
+    wdot = (jnp.cross(params.r_t, u) - jnp.cross(w, Jw)) / params.J_b
+
+    return jnp.concatenate([mdot[None], rdot, vdot, qdot, wdot])
+
+
+# --------------------------------------------------------------------------- cones
+N_LIN = 2                      # mass lower bound, linearized thrust lower bound
+SOC_DIMS = (3, 3, 4, 4, 4)     # glideslope, tilt, rate, thrust-ub, gimbal
+
+
+def stage_cones(params: Rocket6DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
+    """Emit (G_lin, h_lin, socs) for one node, in deltas about (xk, uk).
+
+    Linear rows mean G @ (dx,du) <= h; SOC blocks mean h - G @ (dx,du) in SOC(d).
+    """
+    dtype = xk.dtype
+    nxu = NX + NU
+    e = lambda *idx: jnp.zeros((len(idx), nxu), dtype=dtype).at[
+        jnp.arange(len(idx)), jnp.asarray(idx)
+    ].set(1.0)
+
+    # --- linear rows ------------------------------------------------------
+    # mass:  m >= m_dry  ->  -dm <= m - m_dry
+    g_mass = -e(I_M)[0]
+    h_mass = xk[I_M] - params.m_dry
+    # thrust lb (linearized about ubar): nhat'(u) >= T_min -> -nhat' du <= nhat'ubar - T_min
+    nhat = uk / safe_norm(uk)
+    g_tlb = jnp.zeros((nxu,), dtype=dtype).at[NX:].set(-nhat)
+    h_tlb = nhat @ uk - params.T_min
+    G_lin = jnp.stack([g_mass, g_tlb])
+    h_lin = jnp.stack([h_mass, h_tlb])
+
+    # --- SOC blocks: s = h - G d,  s in SOC ------------------------------
+    r = xk[I_R]
+    # glideslope SOC(3): s = (r1 , tan_gs * r_{2,3})... we need s0 >= ||s1||:
+    #   r1 >= tan_gs * ||r23||  ->  s = (r1, tan_gs*r2, tan_gs*r3)
+    G_gs = jnp.stack(
+        [-e(1)[0], -params.tan_gamma_gs * e(2)[0], -params.tan_gamma_gs * e(3)[0]]
+    )
+    h_gs = jnp.stack([r[0], params.tan_gamma_gs * r[1], params.tan_gamma_gs * r[2]])
+
+    # tilt SOC(3): c_tilt >= ||(q2, q3)||
+    G_tilt = jnp.stack([jnp.zeros((nxu,), dtype=dtype), e(9)[0], e(10)[0]])
+    h_tilt = jnp.stack([params.c_tilt * jnp.ones((), dtype), xk[9], xk[10]])
+
+    # rate SOC(4): omega_max >= ||omega||
+    G_rate = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), e(11, 12, 13)])
+    h_rate = jnp.concatenate([params.omega_max[None], xk[I_W]])
+
+    # thrust ub SOC(4): T_max >= ||u||
+    iu = (NX, NX + 1, NX + 2)
+    G_tub = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), e(*iu)])
+    h_tub = jnp.concatenate([params.T_max[None], uk])
+
+    # gimbal SOC(4): u_1 / cos(delta_max) >= ||u||
+    G_gim = jnp.concatenate([-e(NX) / params.cos_delta_max, e(*iu)])
+    h_gim = jnp.concatenate([(uk[0] / params.cos_delta_max)[None], uk])
+
+    return G_lin, h_lin, ((G_gs, h_gs), (G_tilt, h_tilt), (G_rate, h_rate),
+                          (G_tub, h_tub), (G_gim, h_gim))
+
+
+def initial_guess(params: Rocket6DoFParams, K: int):
+    """Straight-line interpolation of BCs + hover-ish thrust (SURVEY §3.1)."""
+    dtype = params.m_wet.dtype
+    a = jnp.linspace(1.0, 0.0, K, dtype=dtype)[:, None]
+    m = (a * params.m_wet + (1.0 - a) * params.m_dry)  # (K,1)
+    r = a * params.r_init + (1.0 - a) * params.r_final
+    v = a * params.v_init + (1.0 - a) * params.v_final
+    q = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype), (K, 4))
+    w = jnp.zeros((K, 3), dtype=dtype)
+    X = jnp.concatenate([m, r, v, q, w], axis=1)
+    # thrust opposing gravity, scaled by local mass: u = -m * g (body==inertial at q=I)
+    U = -m * params.g_i
+    sigma = params.tf_guess
+    return X, U, sigma
+
+
+def rocket6dof_model() -> Model:
+    return Model(
+        name="rocket6dof",
+        nx=NX,
+        nu=NU,
+        f=dynamics,
+        stage_cones=stage_cones,
+        n_lin=N_LIN,
+        soc_dims=SOC_DIMS,
+        mass_index=I_M,
+        init_pinned=tuple([True] * NX),
+        # terminal: r, v, q, omega pinned; mass free
+        term_pinned=tuple([False] + [True] * 13),
+        term_u_pinned=(False, False, False),
+        initial_guess=initial_guess,
+    )
+
+
+_MODEL = None
+
+
+def get_model() -> Model:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = rocket6dof_model()
+    return _MODEL

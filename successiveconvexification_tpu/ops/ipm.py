@@ -1,0 +1,443 @@
+"""In-graph primal-dual interior-point SOCP solver (the TPU-native ECOS).
+
+Replaces the reference's external C conic solver (SURVEY.md §2.1 C7/C8, §3.3) with a
+Nesterov-Todd-scaled, Mehrotra predictor-corrector IPM that runs entirely inside the
+XLA graph: fixed iteration count, per-lane convergence masking (vmap-safe), and a KKT
+solve specialized to the stage structure of ``StageSOCP``:
+
+    [ P   A'  G' ] [ux]   [bx]
+    [ A   0   0  ] [uy] = [by]        P = pin-diagonal (+ static factorization reg)
+    [ G   0 -W'W ] [uz]   [bz]
+
+Elimination order (the whole point of the stage form):
+  1. uz = W^-2 (G ux - bz)  ->  H ux + A'uy = bx + G'W^-2 bz, with
+     H block-diagonal per stage: a dense (nx+nu+1) block on (dx,du,t) plus diagonal
+     blocks for p,q (orthant-only variables) and a scalar for sigma.
+  2. Schur onto the dynamics multipliers y: M uy = A H^-1 bxt - by where
+     M = A H^-1 A' is BLOCK TRIDIAGONAL (nx-blocks along the K axis) plus a RANK-ONE
+     arrow from the free-final-time sigma column, handled by Sherman-Morrison.
+  3. Block-tridiagonal Cholesky via lax.scan (parallel-friendly cyclic-reduction and
+     Pallas variants live in ops/kkt_pallas.py — same interface).
+
+Everything is shaped (K, ...) / (K-1, ...) per scenario; ``jax.vmap`` adds the
+scenario axis and turns every small dense op into a large batched TPU kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from successiveconvexification_tpu.config import IPMConfig
+from successiveconvexification_tpu.ops import cones as C
+from successiveconvexification_tpu.ops import socp
+from successiveconvexification_tpu.ops.socp import Primal, StageSOCP
+
+ConeVec = Dict[str, jnp.ndarray]
+
+
+# =========================================================================
+# KKT factorization and solve
+# =========================================================================
+class KKTFactors(NamedTuple):
+    chol_Hw: jnp.ndarray     # (K, nw, nw) lower Cholesky of the stage H blocks
+    d_p: jnp.ndarray         # (K-1, nx) diagonal H for p
+    d_q: jnp.ndarray         # (K-1, nx)
+    h_sig: jnp.ndarray       # () scalar H for sigma
+    chol_D: jnp.ndarray      # (K-1, nx, nx) block-tridiag Cholesky diagonal factors
+    Coff: jnp.ndarray        # (K-1, nx, nx) C_k = L_k^-T-style coupling (Coff[0]=0)
+    sm_t: jnp.ndarray        # (K-1, nx) M0^-1 g  (Sherman-Morrison vector)
+    sm_denom: jnp.ndarray    # () h_sig + g' M0^-1 g
+
+
+def _soc_jdiag(dim: int, dtype) -> jnp.ndarray:
+    return jnp.concatenate([jnp.ones((1,), dtype), -jnp.ones((dim - 1,), dtype)])
+
+
+def build_H(d: StageSOCP, W, reg: float):
+    """Stage Hessian blocks H = P + G'W^-2 G (block-diagonal structure)."""
+    K, nw = d.c_w.shape
+    nx = d.c_p.shape[-1]
+    dtype = d.c_w.dtype
+    wt = C.winv2_terms(_spec_of(d), W)
+
+    # dense (dx,du,t) block per node
+    H = jnp.zeros((K, nw, nw), dtype)
+    dlin = wt["lin"]["d"]                                    # (K, nl)
+    H = H + jnp.einsum("kiw,ki,kiv->kwv", d.G_lin, dlin, d.G_lin)
+    for i, G in enumerate(d.G_socs):
+        key = "tr" if i == len(d.G_socs) - 1 else f"soc{i}"
+        coef = wt[key]["coef"]                               # (K,)
+        v = wt[key]["v"]                                     # (K, dim)
+        u = jnp.einsum("kiw,ki->kw", G, v)                   # G'v
+        jdiag = _soc_jdiag(G.shape[1], dtype)
+        GJG = jnp.einsum("kiw,i,kiv->kwv", G, jdiag, G)
+        H = H + coef[:, None, None] * (2.0 * u[:, :, None] * u[:, None, :] - GJG)
+
+    pin = 1.0 - d.free_w
+    H = H + jax.vmap(jnp.diag)(pin + d.Q_w + reg)
+
+    # p, q diagonals (orthant rows only)
+    dpq = wt["pq"]["d"]                                      # (K-1, 2nx)
+    d_p = dpq[:, :nx] + reg
+    d_q = dpq[:, nx:] + reg
+
+    # sigma scalar
+    dsig = wt["sig"]["d"]                                    # (4,)
+    h_sig = (jnp.sum(d.G_sig * dsig * d.G_sig) + (1.0 - d.free_sig)
+             + d.Q_sig + reg)
+    return H, d_p, d_q, h_sig
+
+
+def _spec_of(d: StageSOCP) -> Dict[str, str]:
+    spec = {"lin": "lin", "pq": "lin", "sig": "lin"}
+    for i in range(len(d.G_socs) - 1):
+        spec[f"soc{i}"] = "soc"
+    spec["tr"] = "soc"
+    return spec
+
+
+def _chol_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched solve with precomputed lower Cholesky; rhs (..., n) or (..., n, m)."""
+    vec = rhs.ndim == chol.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol, -1, -2), y, lower=False
+    )
+    return x[..., 0] if vec else x
+
+
+def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
+    K, nw = d.c_w.shape
+    nx = d.c_p.shape[-1]
+    dtype = d.c_w.dtype
+    reg = jnp.asarray(cfg.static_reg, dtype)
+
+    H, d_p, d_q, h_sig = build_H(d, W, reg)
+    chol_Hw = jnp.linalg.cholesky(H)
+
+    # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
+    XE = _chol_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))   # (K-1, nw, nx)
+    XF = _chol_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2))    # (K-1, nw, nx)
+
+    D = (
+        jnp.einsum("kiw,kwj->kij", d.E, XE)
+        + jnp.einsum("kiw,kwj->kij", d.F, XF)
+        + jax.vmap(jnp.diag)(1.0 / d_p + 1.0 / d_q)
+        + reg * jnp.eye(nx, dtype=dtype)
+    )
+    # off-diagonal M[k, k+1] = F_k Hw_{k+1}^-1 E_{k+1}'
+    O = jnp.einsum("kiw,kwj->kij", d.F[:-1], XE[1:])          # (K-2, nx, nx)
+
+    chol_D, Coff = _blocktridiag_factor(D, O)
+
+    # Sherman-Morrison data for the sigma arrow
+    g = d.g_sig
+    t = _blocktridiag_solve(chol_D, Coff, g)
+    sm_denom = h_sig + jnp.sum(g * t)
+    return KKTFactors(
+        chol_Hw=chol_Hw, d_p=d_p, d_q=d_q, h_sig=h_sig,
+        chol_D=chol_D, Coff=Coff, sm_t=t, sm_denom=sm_denom,
+    )
+
+
+def _blocktridiag_factor(D: jnp.ndarray, O: jnp.ndarray):
+    """Block-tridiagonal Cholesky: returns per-block lower factors L_k and the
+    forward couplings C_k = L_{k-1}^{-1} O_{k-1} (C_0 = 0).
+
+    M = [D_0 O_0; O_0' D_1 O_1; ...];  S_k = D_k - C_k' C_k;  L_k = chol(S_k).
+    Sequential scan along K (SURVEY §2.3 P4 notes the cyclic-reduction alternative).
+    """
+    n = D.shape[0]
+    nx = D.shape[-1]
+    dtype = D.dtype
+    O_pad = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), O], axis=0)  # O_pad[k]=O_{k-1}
+
+    def step(L_prev, inputs):
+        D_k, O_km1 = inputs
+        Ck = jax.scipy.linalg.solve_triangular(L_prev, O_km1, lower=True)
+        S = D_k - Ck.T @ Ck
+        Lk = jnp.linalg.cholesky(S)
+        return Lk, (Lk, Ck)
+
+    # first block has no coupling: seed with identity and zero O
+    L0 = jnp.linalg.cholesky(D[0])
+    if n == 1:
+        return L0[None], jnp.zeros((1, nx, nx), dtype)
+    Llast, (Ls, Cs) = jax.lax.scan(step, L0, (D[1:], O_pad[1:]))
+    chol_D = jnp.concatenate([L0[None], Ls], axis=0)
+    Coff = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), Cs], axis=0)
+    return chol_D, Coff
+
+
+def _blocktridiag_solve(chol_D, Coff, rhs):
+    """Solve M u = rhs given the block factorization; rhs (K-1, nx) or (K-1, nx, m)."""
+    vec = rhs.ndim == 2
+    if vec:
+        rhs = rhs[..., None]
+
+    # forward: v_k = L_k^-1 (r_k - C_k' v_{k-1})
+    def fwd(v_prev, inputs):
+        L_k, C_k, r_k = inputs
+        v_k = jax.scipy.linalg.solve_triangular(
+            L_k, r_k - C_k.T @ v_prev, lower=True
+        )
+        return v_k, v_k
+
+    v0 = jnp.zeros_like(rhs[0])
+    _, V = jax.lax.scan(fwd, v0, (chol_D, Coff, rhs))
+
+    # backward: u_k = L_k^-T (v_k - C_{k+1} u_{k+1})
+    def bwd(u_next, inputs):
+        L_k, C_kp1, v_k = inputs
+        u_k = jax.scipy.linalg.solve_triangular(
+            L_k.T, v_k - C_kp1 @ u_next, lower=False
+        )
+        return u_k, u_k
+
+    nplus = jnp.zeros_like(rhs[0])
+    C_shift = jnp.concatenate([Coff[1:], jnp.zeros_like(Coff[:1])], axis=0)
+    _, U = jax.lax.scan(bwd, nplus, (chol_D, C_shift, V), reverse=True)
+    return U[..., 0] if vec else U
+
+
+def _H_solve(f: KKTFactors, bx: Primal) -> Primal:
+    return Primal(
+        w=_chol_solve(f.chol_Hw, bx.w),
+        p=bx.p / f.d_p,
+        q=bx.q / f.d_q,
+        sig=bx.sig / f.h_sig,
+    )
+
+
+def solve_kkt(d: StageSOCP, f: KKTFactors, W, bx: Primal, by: jnp.ndarray,
+              bz: ConeVec) -> Tuple[Primal, jnp.ndarray, ConeVec]:
+    """One structured KKT solve. Returns (ux, uy, uz)."""
+    spec = _spec_of(d)
+    bxt = socp.primal_axpy(bx, socp.apply_GT(d, C.winv2_apply(spec, W, bz)), 1.0)
+
+    ry = socp.apply_A(d, _H_solve(f, bxt)) - by
+    # M uy = ry with M = M0 + g g'/h_sig  (Sherman-Morrison)
+    t1 = _blocktridiag_solve(f.chol_D, f.Coff, ry)
+    coef = jnp.sum(d.g_sig * t1) / f.sm_denom
+    uy = t1 - f.sm_t * coef
+
+    ux = _H_solve(f, socp.primal_axpy(bxt, socp.apply_AT(d, uy), -1.0))
+    gux = socp.apply_G(d, ux)
+    uz = C.winv2_apply(spec, W, {k: gux[k] - bz[k] for k in gux})
+    return ux, uy, uz
+
+
+def kkt_residual(d: StageSOCP, W, ux: Primal, uy, uz, bx: Primal, by, bz):
+    """Residual of the UNregularized KKT system (for iterative refinement)."""
+    spec = _spec_of(d)
+    pin = 1.0 - d.free_w
+    Pux = Primal(
+        w=ux.w * (pin + d.Q_w), p=jnp.zeros_like(ux.p), q=jnp.zeros_like(ux.q),
+        sig=ux.sig * (1.0 - d.free_sig + d.Q_sig),
+    )
+    rx = socp.primal_axpy(
+        socp.primal_axpy(bx, Pux, -1.0), socp.primal_axpy(
+            socp.apply_AT(d, uy), socp.apply_GT(d, uz), 1.0), -1.0,
+    )
+    ry = by - socp.apply_A(d, ux)
+    gux = socp.apply_G(d, ux)
+    # third row: G ux - W^2 uz = bz  ->  residual bz - G ux + W^2 uz
+    w2uz = C.w_apply(spec, W, C.w_apply(spec, W, uz, inverse=False), inverse=False)
+    rz = {k: bz[k] - gux[k] + w2uz[k] for k in gux}
+    return rx, ry, rz
+
+
+def solve_kkt_refined(d, f, W, bx, by, bz, refine_steps: int):
+    ux, uy, uz = solve_kkt(d, f, W, bx, by, bz)
+    for _ in range(refine_steps):
+        rx, ry, rz = kkt_residual(d, W, ux, uy, uz, bx, by, bz)
+        cx, cy, cz = solve_kkt(d, f, W, rx, ry, rz)
+        ux = socp.primal_axpy(ux, cx, 1.0)
+        uy = uy + cy
+        uz = {k: uz[k] + cz[k] for k in uz}
+    return ux, uy, uz
+
+
+# =========================================================================
+# IPM driver
+# =========================================================================
+class IPMState(NamedTuple):
+    x: Primal
+    y: jnp.ndarray
+    s: ConeVec
+    z: ConeVec
+    converged: jnp.ndarray   # () bool
+    iters: jnp.ndarray       # () int32
+    gap: jnp.ndarray         # () relative duality gap
+    pres: jnp.ndarray        # () primal residual (relative)
+    dres: jnp.ndarray        # () dual residual (relative)
+
+
+def _shift_into_cone(spec, v: ConeVec, e: ConeVec) -> ConeVec:
+    """v + (1 + alpha_violation) * e so the result is strictly interior."""
+    # distance to cone along -e: for lin, alpha = -min(v); for soc,
+    # alpha = ||v1|| - v0 (positive if outside)
+    alphas = []
+    for k, kind in spec.items():
+        if v[k].size == 0:
+            continue
+        if kind == "lin":
+            alphas.append(-jnp.min(v[k]))
+        else:
+            a = jnp.linalg.norm(v[k][..., 1:], axis=-1) - v[k][..., 0]
+            alphas.append(jnp.max(a))
+    alpha = jnp.maximum(jnp.max(jnp.stack(alphas)), 0.0)
+    scale = 1.0 + alpha
+    return C.tree_add(v, e, scale)
+
+
+def _identity_W(spec, like: ConeVec):
+    W = {}
+    for k, kind in spec.items():
+        if kind == "lin":
+            W[k] = {"w": jnp.ones_like(like[k])}
+        else:
+            wbar = jnp.zeros_like(like[k]).at[..., 0].set(1.0)
+            W[k] = {"eta": jnp.ones(like[k].shape[:-1], like[k].dtype), "wbar": wbar}
+    return W
+
+
+def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
+    """Solve one scenario's subproblem; vmap over scenarios for batches."""
+    spec = _spec_of(d)
+    h = socp.cone_h(d)
+    c = socp.objective(d)
+    b = d.b
+    e = C.identity(spec, h)
+    deg = C.degree(spec, h)
+    dtype = d.c_w.dtype
+
+    # ---- initialization (CVXOPT conelp-style, W = I) ---------------------
+    W0 = _identity_W(spec, h)
+    f0 = factorize(d, W0, cfg)
+    # primal: min ||s|| heuristic -> solve with (0, b, h)
+    x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h)
+    s_cand = {k: h[k] - v for k, v in socp.apply_G(d, x0).items()}
+    s0 = _shift_into_cone(spec, s_cand, e)
+    # dual: solve with (-c, 0, 0)
+    mc = Primal(w=-c.w, p=-c.p, q=-c.q, sig=-c.sig)
+    _, y0, z_cand = solve_kkt(
+        d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0)
+    )
+    z0 = _shift_into_cone(spec, z_cand, e)
+
+    cnorm = jnp.maximum(1.0, jnp.sqrt(socp.primal_inner(c, c)))
+    bnorm = jnp.maximum(1.0, jnp.linalg.norm(b))
+    hnorm = jnp.maximum(1.0, jnp.sqrt(C.inner(h, h)))
+
+    def pin_project(x: Primal) -> Primal:
+        return Primal(w=x.w * d.free_w, p=x.p, q=x.q, sig=x.sig * d.free_sig)
+
+    state = IPMState(
+        x=pin_project(x0), y=y0, s=s0, z=z0,
+        converged=jnp.asarray(False),
+        iters=jnp.asarray(0, jnp.int32),
+        gap=jnp.asarray(jnp.inf, dtype), pres=jnp.asarray(jnp.inf, dtype),
+        dres=jnp.asarray(jnp.inf, dtype),
+    )
+
+    def body(_, st: IPMState) -> IPMState:
+        x, y, s, z = st.x, st.y, st.s, st.z
+        pin = 1.0 - d.free_w
+        Px = Primal(w=x.w * (pin + d.Q_w), p=jnp.zeros_like(x.p),
+                    q=jnp.zeros_like(x.q),
+                    sig=x.sig * (1.0 - d.free_sig + d.Q_sig))
+        rx = socp.primal_axpy(
+            socp.primal_axpy(socp.primal_axpy(c, Px, 1.0), socp.apply_AT(d, y), 1.0),
+            socp.apply_GT(d, z), 1.0)
+        ry = socp.apply_A(d, x) - b
+        gx = socp.apply_G(d, x)
+        rz = {k: gx[k] + s[k] - h[k] for k in gx}
+
+        sz = C.inner(s, z)
+        mu = sz / deg
+        cx = socp.primal_inner(c, x)
+        gap = sz / jnp.maximum(1.0, jnp.abs(cx))
+        pres = jnp.sqrt(jnp.linalg.norm(ry) ** 2 + C.inner(rz, rz)) / jnp.maximum(
+            bnorm, hnorm)
+        dres = jnp.sqrt(socp.primal_inner(rx, rx)) / cnorm
+        converged = (gap < cfg.tol_gap) & (pres < cfg.tol_feas) & (dres < cfg.tol_feas)
+        active = ~(st.converged | converged)
+        act = active.astype(dtype)
+
+        W = C.nt_scaling(spec, s, z)
+        lam = C.scaling_point(spec, W, z)
+        f = factorize(d, W, cfg)
+
+        # ---- affine (predictor) ------------------------------------------
+        ds_t = C.jordan_mul(spec, lam, lam)
+        bz_a = {k: -rz[k] + C.w_apply(spec, W, C.jordan_solve(spec, lam, ds_t))[k]
+                for k in rz}
+        nrx = Primal(w=-rx.w, p=-rx.p, q=-rx.q, sig=-rx.sig)
+        dx_a, dy_a, dz_a = solve_kkt_refined(d, f, W, nrx, -ry, bz_a,
+                                             cfg.refine_steps)
+        gdx = socp.apply_G(d, dx_a)
+        ds_a = {k: -rz[k] - gdx[k] for k in rz}
+
+        step_s = C.max_step(spec, s, ds_a)
+        step_z = C.max_step(spec, z, dz_a)
+        alpha_aff = jnp.minimum(1.0, jnp.minimum(step_s, step_z))
+        mu_aff = C.inner(
+            C.tree_add(s, ds_a, alpha_aff), C.tree_add(z, dz_a, alpha_aff)
+        ) / deg
+        eta = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+
+        if cfg.corrector:
+            # Mehrotra correction in scaled space
+            wds = C.w_apply(spec, W, ds_a, inverse=True)
+            wdz = C.w_apply(spec, W, dz_a, inverse=False)
+            gamma = C.jordan_mul(spec, wds, wdz)
+            ds_t2 = {
+                k: ds_t[k] + gamma[k] - eta * mu * e[k] for k in ds_t
+            }
+        else:
+            ds_t2 = {k: ds_t[k] - eta * mu * e[k] for k in ds_t}
+
+        bz_c = {k: -rz[k] + C.w_apply(spec, W, C.jordan_solve(spec, lam, ds_t2))[k]
+                for k in rz}
+        dx, dy, dz = solve_kkt_refined(d, f, W, nrx, -ry, bz_c, cfg.refine_steps)
+        gdx = socp.apply_G(d, dx)
+        ds = {k: -rz[k] - gdx[k] for k in rz}
+
+        step_s = C.max_step(spec, s, ds)
+        step_z = C.max_step(spec, z, dz)
+        alpha = jnp.minimum(
+            1.0, cfg.frac_to_boundary * jnp.minimum(step_s, step_z)
+        )
+        # Robustness for the fixed-iteration batched regime: a converged (or
+        # numerically exhausted) lane must never contaminate its iterate. The
+        # update is gated with where() on the whole trees (NOT alpha * dx, which
+        # would propagate NaN via 0 * NaN).
+        dir_finite = jnp.array(True)
+        for leaf in jax.tree.leaves((dx, dy, dz, ds)):
+            dir_finite = dir_finite & jnp.all(jnp.isfinite(leaf))
+        ok = active & dir_finite & jnp.isfinite(alpha) & (alpha > cfg.min_step)
+
+        def upd(old, new):
+            return jax.tree.map(lambda o, n: jnp.where(ok, n, o), old, new)
+
+        x_n = upd(x, pin_project(socp.primal_axpy(x, dx, alpha)))
+        return IPMState(
+            x=x_n,
+            y=upd(y, y + alpha * dy),
+            s=upd(s, C.tree_add(s, ds, alpha)),
+            z=upd(z, C.tree_add(z, dz, alpha)),
+            converged=st.converged | converged,
+            iters=st.iters + active.astype(jnp.int32),
+            gap=jnp.where(jnp.isfinite(gap), gap, st.gap),
+            pres=jnp.where(jnp.isfinite(pres), pres, st.pres),
+            dres=jnp.where(jnp.isfinite(dres), dres, st.dres),
+        )
+
+    state = jax.lax.fori_loop(0, cfg.max_iters, body, state)
+    return state

@@ -1,0 +1,123 @@
+"""Structured in-graph IPM vs the dense f64 oracle on real assembled subproblems.
+
+This is the BASELINE oracle-equivalence gate at the subproblem level (SURVEY.md
+§4.2): identical (A_k, Bm_k, Bp_k, S_k, z_k) data, two independent solvers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dense_ref
+from successiveconvexification_tpu.config import IPMConfig, ScvxConfig
+from successiveconvexification_tpu.models import pointmass3dof as pm
+from successiveconvexification_tpu.models import rocket6dof as rk
+from successiveconvexification_tpu.ops import ipm, socp
+from successiveconvexification_tpu.ops.discretize import discretize
+from successiveconvexification_tpu.oracle import dense_socp
+
+F64 = jnp.float64
+
+
+def _assemble(model, params, K, tr_radius=2.0):
+    cfg = ScvxConfig()
+    X, U, sigma = model.initial_guess(params, K)
+    disc = discretize(model, params, X, U, sigma, substeps=8)
+    d = socp.assemble(
+        model, cfg, params, disc, X, U, sigma,
+        jnp.asarray(tr_radius, F64), free_final_time=True,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def prob3():
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    return _assemble(model, params, K=8)
+
+
+@pytest.fixture(scope="module")
+def prob6():
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64)
+    return _assemble(model, params, K=7)
+
+
+def _flatten_solution(d, st):
+    x = dense_ref.flatten_primal(
+        jax.tree.map(np.asarray, st.x)
+    )
+    z = np.asarray(dense_ref.flatten_conevec(d, st.z))
+    s = np.asarray(dense_ref.flatten_conevec(d, st.s))
+    y = np.ravel(np.asarray(st.y))
+    return x, y, z, s
+
+
+@pytest.mark.parametrize("probname", ["prob3", "prob6"])
+def test_structured_ipm_kkt_certificate(probname, request):
+    """The structured solver's solution must satisfy the DENSE KKT system."""
+    d = request.getfixturevalue(probname)
+    cfg = IPMConfig(max_iters=40, tol_gap=1e-8, tol_feas=1e-8, static_reg=1e-8, refine_steps=3)
+    st = ipm.ipm_solve(d, cfg)
+    assert bool(st.converged), (float(st.gap), float(st.pres), float(st.dres))
+
+    c, A, b, G, h, cones, P = dense_ref.materialize(d)
+    x, y, z, s = _flatten_solution(d, st)
+    pres, dres, gap, viol = dense_ref.kkt_certificate(
+        c, A, b, G, h, cones, P, x, y, z, s
+    )
+    assert pres < 1e-7, pres
+    assert dres < 1e-7, dres
+    assert gap < 1e-6, gap
+    assert viol < 1e-9, viol
+
+
+@pytest.mark.parametrize("probname", ["prob3", "prob6"])
+def test_structured_matches_oracle_objective(probname, request):
+    d = request.getfixturevalue(probname)
+    cfg = IPMConfig(max_iters=40, tol_gap=1e-8, tol_feas=1e-8, static_reg=1e-8, refine_steps=3)
+    st = ipm.ipm_solve(d, cfg)
+    # gap/pres may flag convergence only marginally; the certificate below is the
+    # authoritative check
+    assert float(st.gap) < 1e-7 and float(st.pres) < 1e-6
+
+    c, A, b, G, h, cones, P = dense_ref.materialize(d)
+    res = dense_socp.solve(c, A, b, G, h, cones, P=P, tol=1e-10)
+    assert res.converged
+
+    x_struct, _, _, _ = _flatten_solution(d, st)
+    obj_struct = float(c @ x_struct)
+    obj_oracle = float(c @ res.x)
+    scale = max(1.0, abs(obj_oracle))
+    assert abs(obj_struct - obj_oracle) / scale < 1e-6
+
+    # primal solutions should agree closely on the (dx, du, dsigma) blocks
+    # (generically unique); compare with loose tol to allow degenerate directions
+    np.testing.assert_allclose(x_struct, res.x, atol=5e-5)
+
+
+def test_structured_ipm_jits(prob3):
+    cfg = IPMConfig(max_iters=15)
+    fn = jax.jit(lambda d: ipm.ipm_solve(d, cfg))
+    st = fn(prob3)
+    assert np.isfinite(float(st.gap))
+
+
+def test_structured_ipm_vmaps(prob3):
+    """vmap(solve) over stacked copies == each solved identically."""
+    cfg = IPMConfig(max_iters=25)
+    B = 3
+    batch = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), prob3)
+    sts = jax.vmap(lambda d: ipm.ipm_solve(d, cfg))(batch)
+    st0 = ipm.ipm_solve(prob3, cfg)
+    # vmapped and single execution use different XLA fusions; agreement is to
+    # solver accuracy, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(sts.x.w[0]), np.asarray(st0.x.w), atol=1e-5
+    )
+    # identical lanes inside one vmap ARE bitwise identical
+    np.testing.assert_allclose(
+        np.asarray(sts.x.w[1]), np.asarray(sts.x.w[2]), rtol=0, atol=0
+    )
