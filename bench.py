@@ -1,0 +1,67 @@
+"""Headline benchmark: concurrent K=50 6-DoF SCvx solves/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured solves/s/chip divided by the per-chip share of the
+north-star target (1000 solves/s on a 16-chip v5p slice -> 62.5 /chip);
+the bench chip here is a v5e, so >1.0 comfortably beats the target share.
+
+Extra diagnostic fields are included in the same JSON object (allowed keys are a
+superset; the driver reads the four required ones).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import successiveconvexification_tpu as scvx
+    from successiveconvexification_tpu.models import rocket6dof as rk
+    from successiveconvexification_tpu.parallel.batch import (
+        sample_dispersions,
+        solve_batch,
+    )
+
+    B = int(__import__("os").environ.get("BENCH_BATCH", "256"))
+    cfg = scvx.SolverConfig(
+        dtype="float32",
+        disc=scvx.DiscretizationConfig(K=50, substeps=8),
+        ipm=scvx.IPMConfig(max_iters=25, refine_steps=1),
+        scvx=scvx.ScvxConfig(max_iters=10),
+    )
+    model = scvx.rocket6dof_model()
+    params = rk.default_params(dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    pb = sample_dispersions(params, key, B, r_std=0.2, v_std=0.1, m_frac_std=0.03)
+
+    # warmup/compile
+    out = solve_batch(model, pb, cfg)
+    jax.block_until_ready(out.X)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = solve_batch(model, pb, cfg)
+        jax.block_until_ready(out.X)
+    dt = (time.perf_counter() - t0) / reps
+
+    solves_per_s = B / dt
+    n_conv = int(jnp.sum(out.converged))
+    result = {
+        "metric": "6dof_k50_scvx_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / 62.5, 3),
+        "batch": B,
+        "wall_s_per_batch": round(dt, 4),
+        "converged": n_conv,
+        "mean_scvx_iters": float(jnp.mean(out.iterations.astype(jnp.float32))),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

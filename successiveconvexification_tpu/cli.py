@@ -1,0 +1,178 @@
+"""Command-line interface: single solves, Monte-Carlo sweeps, benchmarks.
+
+Usage:
+    python -m successiveconvexification_tpu.cli solve [--model rocket6dof]
+        [--config cfg.yaml] [--K 50] [--dtype float32] [--out traj.npz]
+    python -m successiveconvexification_tpu.cli sweep --batch 256 [--seed 0]
+        [--checkpoint ckpt] [--metrics metrics.jsonl]
+    python -m successiveconvexification_tpu.cli bench [--batch 256]
+
+Overrides use dotted flags: --ipm.max_iters=20 --scvx.w_nu=100 --disc.K=50.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_cfg(args, overrides):
+    from successiveconvexification_tpu.config import SolverConfig
+
+    cfg = SolverConfig.from_yaml(args.config) if args.config else SolverConfig()
+    d = cfg.to_dict()
+    for key, val in overrides.items():
+        parts = key.split(".")
+        cur = d
+        for p in parts[:-1]:
+            cur = cur[p]
+        leaf = parts[-1]
+        if leaf not in cur:
+            raise SystemExit(f"unknown config key: {key}")
+        old = cur[leaf]
+        cur[leaf] = type(old)(val) if old is not None and not isinstance(old, bool) \
+            else (val in ("1", "true", "True")) if isinstance(old, bool) else val
+    return SolverConfig.from_dict(d)
+
+
+def _get_model(name: str, dtype):
+    if name == "rocket6dof":
+        from successiveconvexification_tpu.models import rocket6dof as m
+    elif name == "pointmass3dof":
+        from successiveconvexification_tpu.models import pointmass3dof as m
+    else:
+        raise SystemExit(f"unknown model {name}")
+    model = getattr(m, f"{name}_model")()
+    params = m.default_params(dtype=dtype)
+    return model, params
+
+
+def _split_overrides(argv):
+    known, overrides = [], {}
+    for a in argv:
+        if a.startswith("--") and "." in a.split("=")[0]:
+            k, _, v = a[2:].partition("=")
+            overrides[k] = v
+        else:
+            known.append(a)
+    return known, overrides
+
+
+def cmd_solve(args, overrides):
+    from successiveconvexification_tpu.ops.scvx import scvx_solve
+
+    cfg = _load_cfg(args, overrides)
+    if args.K:
+        cfg = cfg.replace(disc=dataclasses.replace(cfg.disc, K=args.K))
+    if args.dtype:
+        cfg = cfg.replace(dtype=args.dtype)
+    dtype = jnp.dtype(cfg.dtype)
+    model, params = _get_model(args.model, dtype)
+
+    t0 = time.perf_counter()
+    st = scvx_solve(model, params, cfg)
+    jax.block_until_ready(st.X)
+    dt = time.perf_counter() - t0
+    out = {
+        "model": args.model,
+        "converged": bool(st.converged),
+        "iterations": int(st.iterations),
+        "sigma_tof": float(st.sigma),
+        "final_mass": float(st.X[-1, model.mass_index]) if model.mass_index is not None else None,
+        "nu_norm": float(st.nu_norm),
+        "wall_s": round(dt, 3),
+    }
+    print(json.dumps(out, indent=2))
+    if args.out:
+        np.savez(args.out, X=np.asarray(st.X), U=np.asarray(st.U),
+                 sigma=np.asarray(st.sigma))
+        print(f"trajectory written to {args.out}")
+
+
+def cmd_sweep(args, overrides):
+    from successiveconvexification_tpu.parallel.batch import (
+        batch_stats, sample_dispersions, solve_batch,
+    )
+    from successiveconvexification_tpu.io import checkpoint as ckpt
+    from successiveconvexification_tpu.utils.metrics import JsonlLogger
+
+    cfg = _load_cfg(args, overrides)
+    dtype = jnp.dtype(cfg.dtype)
+    model, params = _get_model(args.model, dtype)
+    key = jax.random.PRNGKey(args.seed)
+    pb = sample_dispersions(params, key, args.batch)
+
+    logger = JsonlLogger(args.metrics, manifest={
+        "cmd": "sweep", "batch": args.batch, "seed": args.seed,
+        "devices": [str(d) for d in jax.devices()],
+        "config": cfg.to_dict(),
+    }) if args.metrics else None
+
+    t0 = time.perf_counter()
+    st = solve_batch(model, pb, cfg)
+    jax.block_until_ready(st.X)
+    dt = time.perf_counter() - t0
+    stats = batch_stats(st)
+    rec = {
+        "n_converged": int(stats.n_converged), "n_total": int(stats.n_total),
+        "mean_iterations": float(stats.mean_iterations),
+        "mean_sigma": float(stats.mean_sigma),
+        "max_nu_norm": float(stats.max_nu_norm),
+        "wall_s": round(dt, 3),
+        "solves_per_s": round(args.batch / dt, 2),
+    }
+    print(json.dumps(rec, indent=2))
+    if logger:
+        logger.log(rec)
+        logger.close()
+    if args.checkpoint:
+        ckpt.save(args.checkpoint, st, cfg=cfg)
+        print(f"sweep state checkpointed to {args.checkpoint}")
+
+
+def cmd_bench(args, overrides):
+    import os
+
+    os.environ["BENCH_BATCH"] = str(args.batch)
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    argv, overrides = _split_overrides(argv)
+    p = argparse.ArgumentParser(prog="scvx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve")
+    ps.add_argument("--model", default="rocket6dof")
+    ps.add_argument("--config", default=None)
+    ps.add_argument("--K", type=int, default=None)
+    ps.add_argument("--dtype", default=None)
+    ps.add_argument("--out", default=None)
+
+    pw = sub.add_parser("sweep")
+    pw.add_argument("--model", default="rocket6dof")
+    pw.add_argument("--config", default=None)
+    pw.add_argument("--batch", type=int, default=256)
+    pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--checkpoint", default=None)
+    pw.add_argument("--metrics", default=None)
+
+    pb = sub.add_parser("bench")
+    pb.add_argument("--batch", type=int, default=256)
+
+    args = p.parse_args(argv)
+    {"solve": cmd_solve, "sweep": cmd_sweep, "bench": cmd_bench}[args.cmd](args, overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,12 @@ class ScvxConfig:
     # the damping — the default) or "hard" (per-node SOC radius, classic SCvx).
     # Both use the nonlinear-cost acceptance ratio.
     tr_mode: str = "soft"
-    soft_tr_weight: float = 1.0        # per-node quadratic weight on (dx, du)
-    soft_tr_sigma_weight: float = 1.0  # quadratic weight on dsigma
+    soft_tr_weight: float = 5.0        # per-node quadratic weight on (dx, du)
+    soft_tr_sigma_weight: float = 5.0  # quadratic weight on dsigma
+    soft_tr_cap: float = 2.0           # hard per-node step cap in soft mode
+    # Quadratic weight on model-declared penalized directions (e.g. the radial
+    # quaternion direction); large = effectively a tangent-space constraint.
+    w_dir_penalty: float = 1e4
     # tr_radius: hard-mode SOC radius, or soft-mode inverse-damping state.
     tr_init: float = 1.0
     tr_min: float = 1e-4
@@ -67,11 +71,17 @@ class ScvxConfig:
     tr_shrink: float = 0.5       # Delta <- tr_shrink * Delta on reject / weak accept
     tr_grow: float = 2.0         # Delta <- tr_grow * Delta on strong accept
     # Time trust region |dsigma| <= tr_sigma_frac * sigma_bar.
-    tr_sigma_frac: float = 0.5
+    tr_sigma_frac: float = 0.3
     # Acceptance-ratio thresholds (rho = actual/predicted nonlinear cost decrease).
     rho0: float = 0.0            # below: reject + shrink
     rho1: float = 0.25           # [rho0, rho1): accept + shrink
     rho2: float = 0.7            # [rho1, rho2): accept, keep; >= rho2: accept + grow
+    # Filter-style second acceptance track: a step that reduces the raw
+    # infeasibility (defect + violation) to <= filter_gamma of its current value
+    # is accepted regardless of rho. This permits the large early
+    # defect-digesting steps SCP needs (non-monotone in the penalized merit)
+    # while the ratio track keeps the tail disciplined.
+    filter_gamma: float = 0.9
     # Penalty weights. Exact-penalty theory needs w_nu > ||dynamics duals||_inf
     # (O(1)-O(10) for the nondimensional problems); far larger values cripple the
     # acceptance ratio, capping accepted steps at ~1/(w_nu * curvature).
@@ -79,9 +89,17 @@ class ScvxConfig:
     w_feas: float = 100.0        # per-stage feasibility-buffer weight (state cones)
     w_sigma: float = 1.0         # time-of-flight weight (min-time term)
     w_mass: float = 0.0          # fuel weight: adds -w_mass * m_K to the cost
-    # Convergence: stop when trust radius and virtual-control norm are both below.
+    # Penalty continuation (SCvx*-style): when the loop stalls (tiny steps) at an
+    # infeasible point — a spurious minimum of the penalized merit — multiply the
+    # penalty scale and reset the trust state. Small base weights keep the
+    # acceptance ratio healthy early; continuation guarantees exactness late.
+    penalty_grow: float = 10.0
+    penalty_scale_max: float = 1e4
+    # Convergence: step size below conv_tol_tr AND total (defect+violation) L1
+    # below conv_tol_feas.
     conv_tol_tr: float = 1e-4
-    conv_tol_nu: float = 1e-7
+    conv_tol_feas: float = 1e-6
+    conv_tol_nu: float = 1e-7  # legacy alias used by linear-merit checks
     # Guard: minimum sigma (time dilation) as a fraction of the initial guess.
     sigma_min_frac: float = 0.2
     sigma_max_frac: float = 4.0

