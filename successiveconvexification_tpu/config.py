@@ -46,6 +46,10 @@ class IPMConfig:
     min_step: float = 1e-10      # step floor before a lane is declared stalled
     refine_steps: int = 1        # iterative-refinement sweeps on each KKT solve
     corrector: bool = True       # Mehrotra predictor-corrector (False = plain AHO)
+    # Block-tridiagonal KKT backend: "scan" (sequential block Cholesky, O(K)
+    # depth) or "pcr" (parallel cyclic reduction, O(log K) depth — the
+    # TPU-latency-friendly choice for batched solves).
+    kkt_solver: str = "scan"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,6 +29,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from successiveconvexification_tpu.config import IPMConfig
 from successiveconvexification_tpu.ops import cones as C
@@ -46,8 +47,7 @@ class KKTFactors(NamedTuple):
     d_p: jnp.ndarray         # (K-1, nx) diagonal H for p
     d_q: jnp.ndarray         # (K-1, nx)
     h_sig: jnp.ndarray       # () scalar H for sigma
-    chol_D: jnp.ndarray      # (K-1, nx, nx) block-tridiag Cholesky diagonal factors
-    Coff: jnp.ndarray        # (K-1, nx, nx) C_k = L_k^-T-style coupling (Coff[0]=0)
+    tri: tuple               # block-tridiag factors ("scan" or "pcr" layout)
     sm_t: jnp.ndarray        # (K-1, nx) M0^-1 g  (Sherman-Morrison vector)
     sm_denom: jnp.ndarray    # () h_sig + g' M0^-1 g
 
@@ -142,16 +142,117 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     # off-diagonal M[k, k+1] = F_k Hw_{k+1}^-1 E_{k+1}'
     O = jnp.einsum("kiw,kwj->kij", d.F[:-1], XE[1:])          # (K-2, nx, nx)
 
-    chol_D, Coff = _blocktridiag_factor(D, O)
+    if cfg.kkt_solver == "pcr":
+        tri = _pcr_factor(D, O)
+    else:
+        tri = _blocktridiag_factor(D, O)
 
     # Sherman-Morrison data for the sigma arrow
     g = d.g_sig
-    t = _blocktridiag_solve(chol_D, Coff, g)
+    t = _tri_solve(cfg, tri, g)
     sm_denom = h_sig + jnp.sum(g * t)
     return KKTFactors(
         chol_Hw=chol_Hw, d_p=d_p, d_q=d_q, h_sig=h_sig,
-        chol_D=chol_D, Coff=Coff, sm_t=t, sm_denom=sm_denom,
+        tri=tri, sm_t=t, sm_denom=sm_denom,
     )
+
+
+def _tri_solve(cfg: IPMConfig, tri, rhs):
+    if cfg.kkt_solver == "pcr":
+        return _pcr_solve(tri, rhs)
+    chol_D, Coff = tri
+    return _blocktridiag_solve(chol_D, Coff, rhs)
+
+
+def _pcr_factor(D: jnp.ndarray, O: jnp.ndarray):
+    """Parallel cyclic reduction 'factorization' of an SPD block-tridiagonal
+    system (SURVEY §2.3 P4): log2(N) levels of batched small-block ops instead
+    of an N-step sequential scan — the TPU-friendly K-axis-parallel KKT path.
+
+    Returns per-level (chol_D, C) pairs plus the final decoupled chol_D. The
+    level recurrences (stride s = 2^l, C_i couples i -> i+s):
+        D'_i = D_i - C_{i-s}' D_{i-s}^-1 C_{i-s} - C_i D_{i+s}^-1 C_i'
+        C'_i = -C_i D_{i+s}^-1 C_{i+s}          (couples i -> i+2s)
+        r'_i = r_i - C_{i-s}' D_{i-s}^-1 r_{i-s} - C_i D_{i+s}^-1 r_{i+s}
+    """
+    N, nx = D.shape[0], D.shape[-1]
+    dtype = D.dtype
+    levels = max(1, int(np.ceil(np.log2(max(N, 2)))))
+    C = jnp.concatenate([O, jnp.zeros((1, nx, nx), dtype)], axis=0)  # C_i: i->i+1
+
+    lev_data = []
+    s = 1
+    for _ in range(levels):
+        cholD = jnp.linalg.cholesky(D)
+        lev_data.append((cholD, C, s))
+        DinvC = _chol_solve(cholD, C)                       # D_i^-1 C_i
+
+        def shift_up(a, k, ident=False):   # a[i+k], padded
+            if k >= a.shape[0]:
+                pad = a.shape[0]
+            else:
+                pad = k
+            fill = (
+                jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (pad, nx, nx))
+                if ident else jnp.zeros((pad,) + a.shape[1:], dtype)
+            )
+            return jnp.concatenate([a[k:], fill], 0)[:N]
+
+        def shift_down(a, k):  # a[i-k], zero-padded
+            return jnp.concatenate(
+                [jnp.zeros((min(k, a.shape[0]),) + a.shape[1:], dtype), a[:-k]], 0
+            )[:N] if k < a.shape[0] else jnp.zeros_like(a)
+
+        # D update. C_i = 0 whenever i+s is out of range (inductively), so the
+        # identity-padded shifted cholesky is only a nonsingular placeholder.
+        cholD_up = shift_up(cholD, s, ident=True)
+        tmp = _chol_solve(cholD_up, jnp.swapaxes(C, 1, 2))  # D_{i+s}^-1 C_i'
+        term_lo = jnp.einsum(
+            "kij,kjl->kil", jnp.swapaxes(shift_down(C, s), 1, 2),
+            shift_down(DinvC, s),
+        )
+        term_hi = jnp.einsum("kij,kjl->kil", C, tmp)
+        D = D - term_lo - term_hi
+        # C update: C'_i = -C_i D_{i+s}^-1 C_{i+s}
+        C = -jnp.einsum("kij,kjl->kil", C, shift_up(DinvC, s))
+        s *= 2
+
+    chol_final = jnp.linalg.cholesky(D)
+    return lev_data, chol_final
+
+
+def _pcr_solve(factors, rhs):
+    """Solve with PCR factors; rhs (N, nx) or (N, nx, m)."""
+    lev_data, chol_final = factors
+    vec = rhs.ndim == 2
+    if vec:
+        rhs = rhs[..., None]
+    N = rhs.shape[0]
+    dtype = rhs.dtype
+
+    r = rhs
+    for cholD, C, s in lev_data:
+        Dinv_r = _chol_solve(cholD, r)
+
+        def shift_up(a, k):
+            return jnp.concatenate(
+                [a[k:], jnp.zeros((min(k, a.shape[0]),) + a.shape[1:], dtype)], 0
+            )[:N]
+
+        def shift_down(a, k):
+            return jnp.concatenate(
+                [jnp.zeros((min(k, a.shape[0]),) + a.shape[1:], dtype), a[:-k]], 0
+            )[:N] if k < a.shape[0] else jnp.zeros_like(a)
+
+        term_lo = jnp.einsum(
+            "kij,kjl->kil", jnp.swapaxes(shift_down(C, s), 1, 2),
+            shift_down(Dinv_r, s),
+        )
+        term_hi = jnp.einsum("kij,kjl->kil", C, shift_up(Dinv_r, s))
+        r = r - term_lo - term_hi
+
+    u = _chol_solve(chol_final, r)
+    return u[..., 0] if vec else u
 
 
 def _blocktridiag_factor(D: jnp.ndarray, O: jnp.ndarray):
@@ -224,14 +325,14 @@ def _H_solve(f: KKTFactors, bx: Primal) -> Primal:
 
 
 def solve_kkt(d: StageSOCP, f: KKTFactors, W, bx: Primal, by: jnp.ndarray,
-              bz: ConeVec) -> Tuple[Primal, jnp.ndarray, ConeVec]:
+              bz: ConeVec, cfg: IPMConfig) -> Tuple[Primal, jnp.ndarray, ConeVec]:
     """One structured KKT solve. Returns (ux, uy, uz)."""
     spec = _spec_of(d)
     bxt = socp.primal_axpy(bx, socp.apply_GT(d, C.winv2_apply(spec, W, bz)), 1.0)
 
     ry = socp.apply_A(d, _H_solve(f, bxt)) - by
     # M uy = ry with M = M0 + g g'/h_sig  (Sherman-Morrison)
-    t1 = _blocktridiag_solve(f.chol_D, f.Coff, ry)
+    t1 = _tri_solve(cfg, f.tri, ry)
     coef = jnp.sum(d.g_sig * t1) / f.sm_denom
     uy = t1 - f.sm_t * coef
 
@@ -266,11 +367,11 @@ def kkt_residual(d: StageSOCP, W, ux: Primal, uy, uz, bx: Primal, by, bz):
     return rx, ry, rz
 
 
-def solve_kkt_refined(d, f, W, bx, by, bz, refine_steps: int):
-    ux, uy, uz = solve_kkt(d, f, W, bx, by, bz)
-    for _ in range(refine_steps):
+def solve_kkt_refined(d, f, W, bx, by, bz, cfg: IPMConfig):
+    ux, uy, uz = solve_kkt(d, f, W, bx, by, bz, cfg)
+    for _ in range(cfg.refine_steps):
         rx, ry, rz = kkt_residual(d, W, ux, uy, uz, bx, by, bz)
-        cx, cy, cz = solve_kkt(d, f, W, rx, ry, rz)
+        cx, cy, cz = solve_kkt(d, f, W, rx, ry, rz, cfg)
         ux = socp.primal_axpy(ux, cx, 1.0)
         uy = uy + cy
         uz = {k: uz[k] + cz[k] for k in uz}
@@ -335,13 +436,13 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
     W0 = _identity_W(spec, h)
     f0 = factorize(d, W0, cfg)
     # primal: min ||s|| heuristic -> solve with (0, b, h)
-    x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h)
+    x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h, cfg)
     s_cand = {k: h[k] - v for k, v in socp.apply_G(d, x0).items()}
     s0 = _shift_into_cone(spec, s_cand, e)
     # dual: solve with (-c, 0, 0)
     mc = Primal(w=-c.w, p=-c.p, q=-c.q, sig=-c.sig)
     _, y0, z_cand = solve_kkt(
-        d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0)
+        d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0), cfg
     )
     z0 = _shift_into_cone(spec, z_cand, e)
 
@@ -398,8 +499,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
         bz_a = {k: -rz[k] + C.w_apply(spec, W, C.jordan_solve(spec, lam, ds_t))[k]
                 for k in rz}
         nrx = Primal(w=-rx.w, p=-rx.p, q=-rx.q, sig=-rx.sig)
-        dx_a, dy_a, dz_a = solve_kkt_refined(d, f, W, nrx, -ry, bz_a,
-                                             cfg.refine_steps)
+        dx_a, dy_a, dz_a = solve_kkt_refined(d, f, W, nrx, -ry, bz_a, cfg)
         gdx = socp.apply_G(d, dx_a)
         ds_a = {k: -rz[k] - gdx[k] for k in rz}
 
@@ -424,7 +524,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
 
         bz_c = {k: -rz[k] + C.w_apply(spec, W, C.jordan_solve(spec, lam, ds_t2))[k]
                 for k in rz}
-        dx, dy, dz = solve_kkt_refined(d, f, W, nrx, -ry, bz_c, cfg.refine_steps)
+        dx, dy, dz = solve_kkt_refined(d, f, W, nrx, -ry, bz_c, cfg)
         gdx = socp.apply_G(d, dx)
         ds = {k: -rz[k] - gdx[k] for k in rz}
 

@@ -121,3 +121,15 @@ def test_structured_ipm_vmaps(prob3):
     np.testing.assert_allclose(
         np.asarray(sts.x.w[1]), np.asarray(sts.x.w[2]), rtol=0, atol=0
     )
+
+
+def test_pcr_matches_scan(prob3):
+    """PCR (log-depth) and scan KKT backends must agree to solver precision."""
+    cfg_scan = IPMConfig(max_iters=25, refine_steps=2, kkt_solver="scan")
+    cfg_pcr = IPMConfig(max_iters=25, refine_steps=2, kkt_solver="pcr")
+    st_a = ipm.ipm_solve(prob3, cfg_scan)
+    st_b = ipm.ipm_solve(prob3, cfg_pcr)
+    np.testing.assert_allclose(
+        np.asarray(st_a.x.w), np.asarray(st_b.x.w), atol=1e-7
+    )
+    assert abs(float(st_a.x.sig) - float(st_b.x.sig)) < 1e-8
