@@ -33,6 +33,7 @@ import numpy as np
 
 from successiveconvexification_tpu.config import IPMConfig
 from successiveconvexification_tpu.ops import cones as C
+from successiveconvexification_tpu.ops import smallla
 from successiveconvexification_tpu.ops import socp
 from successiveconvexification_tpu.ops.socp import Primal, StageSOCP
 
@@ -102,15 +103,11 @@ def _spec_of(d: StageSOCP) -> Dict[str, str]:
 
 
 def _chol_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Batched solve with precomputed lower Cholesky; rhs (..., n) or (..., n, m)."""
-    vec = rhs.ndim == chol.ndim - 1
-    if vec:
-        rhs = rhs[..., None]
-    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(chol, -1, -2), y, lower=False
-    )
-    return x[..., 0] if vec else x
+    """Batched solve with precomputed lower Cholesky; rhs (..., n) or (..., n, m).
+
+    Uses the unrolled small-matrix path (ops/smallla.py): on TPU the generic
+    batched triangular solve leaves the VPU idle for these tiny blocks."""
+    return smallla.cho_solve(chol, rhs)
 
 
 def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
@@ -121,7 +118,7 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     reg = jnp.asarray(cfg.static_reg, dtype)
 
     H, d_p, d_q, h_sig = build_H(d, W, reg)
-    chol_Hw = jnp.linalg.cholesky(H)
+    chol_Hw = smallla.chol(H)
 
     # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
     XE = _chol_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))   # (K-1, nw, nrow)
@@ -183,7 +180,7 @@ def _pcr_factor(D: jnp.ndarray, O: jnp.ndarray):
     lev_data = []
     s = 1
     for _ in range(levels):
-        cholD = jnp.linalg.cholesky(D)
+        cholD = smallla.chol(D)
         lev_data.append((cholD, C, s))
         DinvC = _chol_solve(cholD, C)                       # D_i^-1 C_i
 
@@ -217,7 +214,7 @@ def _pcr_factor(D: jnp.ndarray, O: jnp.ndarray):
         C = -jnp.einsum("kij,kjl->kil", C, shift_up(DinvC, s))
         s *= 2
 
-    chol_final = jnp.linalg.cholesky(D)
+    chol_final = smallla.chol(D)
     return lev_data, chol_final
 
 
@@ -269,13 +266,13 @@ def _blocktridiag_factor(D: jnp.ndarray, O: jnp.ndarray):
 
     def step(L_prev, inputs):
         D_k, O_km1 = inputs
-        Ck = jax.scipy.linalg.solve_triangular(L_prev, O_km1, lower=True)
+        Ck = smallla.solve_lower(L_prev, O_km1)
         S = D_k - Ck.T @ Ck
-        Lk = jnp.linalg.cholesky(S)
+        Lk = smallla.chol(S)
         return Lk, (Lk, Ck)
 
     # first block has no coupling: seed with identity and zero O
-    L0 = jnp.linalg.cholesky(D[0])
+    L0 = smallla.chol(D[0])
     if n == 1:
         return L0[None], jnp.zeros((1, nx, nx), dtype)
     Llast, (Ls, Cs) = jax.lax.scan(step, L0, (D[1:], O_pad[1:]))
@@ -293,9 +290,7 @@ def _blocktridiag_solve(chol_D, Coff, rhs):
     # forward: v_k = L_k^-1 (r_k - C_k' v_{k-1})
     def fwd(v_prev, inputs):
         L_k, C_k, r_k = inputs
-        v_k = jax.scipy.linalg.solve_triangular(
-            L_k, r_k - C_k.T @ v_prev, lower=True
-        )
+        v_k = smallla.solve_lower(L_k, r_k - C_k.T @ v_prev)
         return v_k, v_k
 
     v0 = jnp.zeros_like(rhs[0])
@@ -304,9 +299,7 @@ def _blocktridiag_solve(chol_D, Coff, rhs):
     # backward: u_k = L_k^-T (v_k - C_{k+1} u_{k+1})
     def bwd(u_next, inputs):
         L_k, C_kp1, v_k = inputs
-        u_k = jax.scipy.linalg.solve_triangular(
-            L_k.T, v_k - C_kp1 @ u_next, lower=False
-        )
+        u_k = smallla.solve_upper_t(L_k, v_k - C_kp1 @ u_next)
         return u_k, u_k
 
     nplus = jnp.zeros_like(rhs[0])

@@ -8,6 +8,9 @@ Must run before any jax import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# lax small-matrix backend: the unrolled TPU-prod path inflates CPU compile
+# times badly; its math is covered by tests/test_smallla.py explicitly
+os.environ.setdefault("SCVX_SMALL_LA", "lax")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
