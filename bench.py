@@ -24,12 +24,18 @@ def main():
         solve_batch,
     )
 
-    B = int(__import__("os").environ.get("BENCH_BATCH", "256"))
+    import dataclasses
+    import os
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "10"))
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=50, substeps=8),
         ipm=scvx.IPMConfig(max_iters=25, refine_steps=1),
-        scvx=scvx.ScvxConfig(max_iters=10),
+        scvx=dataclasses.replace(
+            scvx.ScvxConfig(), max_iters=n_scvx, w_feas=1000.0, tr_init=0.1
+        ),
     )
     model = scvx.rocket6dof_model()
     params = rk.default_params(dtype=jnp.float32)
@@ -57,9 +63,12 @@ def main():
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 62.5, 3),
         "batch": B,
+        "scvx_iters": n_scvx,
         "wall_s_per_batch": round(dt, 4),
         "converged": n_conv,
-        "mean_scvx_iters": float(jnp.mean(out.iterations.astype(jnp.float32))),
+        "mean_defect_l1": float(jnp.mean(out.defect_nl)),
+        "mean_viol": float(jnp.mean(out.viol_nl)),
+        "mean_sigma": float(jnp.mean(out.sigma)),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -73,6 +73,8 @@ def cmd_solve(args, overrides):
         cfg = cfg.replace(disc=dataclasses.replace(cfg.disc, K=args.K))
     if args.dtype:
         cfg = cfg.replace(dtype=args.dtype)
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(cfg.dtype)
     model, params = _get_model(args.model, dtype)
 
@@ -94,6 +96,11 @@ def cmd_solve(args, overrides):
         np.savez(args.out, X=np.asarray(st.X), U=np.asarray(st.U),
                  sigma=np.asarray(st.sigma))
         print(f"trajectory written to {args.out}")
+    if args.plot:
+        from successiveconvexification_tpu.utils.plotting import plot_trajectory
+
+        plot_trajectory(st.X, st.U, st.sigma, params=params, path=args.plot)
+        print(f"plot written to {args.plot}")
 
 
 def cmd_sweep(args, overrides):
@@ -158,6 +165,7 @@ def main(argv=None):
     ps.add_argument("--K", type=int, default=None)
     ps.add_argument("--dtype", default=None)
     ps.add_argument("--out", default=None)
+    ps.add_argument("--plot", default=None)
 
     pw = sub.add_parser("sweep")
     pw.add_argument("--model", default="rocket6dof")
