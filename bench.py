@@ -29,10 +29,11 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
     n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "10"))
+    n_ipm = int(os.environ.get("BENCH_IPM_ITERS", "15"))
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=50, substeps=8),
-        ipm=scvx.IPMConfig(max_iters=25, refine_steps=1),
+        ipm=scvx.IPMConfig(max_iters=n_ipm, refine_steps=1, warm_start=True),
         scvx=dataclasses.replace(
             scvx.ScvxConfig(), max_iters=n_scvx, w_feas=1000.0, tr_init=0.1
         ),

@@ -50,6 +50,9 @@ class IPMConfig:
     # depth) or "pcr" (parallel cyclic reduction, O(log K) depth — the
     # TPU-latency-friendly choice for batched solves).
     kkt_solver: str = "scan"
+    # Warm-start the IPM from the previous SCvx iteration's subproblem solution.
+    warm_start: bool = True
+    warm_margin: float = 1e-3    # interior pushback for reused slacks/duals
 
 
 @dataclasses.dataclass(frozen=True)

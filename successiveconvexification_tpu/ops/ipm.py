@@ -404,6 +404,21 @@ def _shift_into_cone(spec, v: ConeVec, e: ConeVec) -> ConeVec:
     return C.tree_add(v, e, scale)
 
 
+def _push_interior(spec, v: ConeVec, margin: float) -> ConeVec:
+    """Push a cone vector strictly inside: lin entries >= margin; soc head
+    exceeds tail norm by >= margin."""
+    out = {}
+    for k, kind in spec.items():
+        if kind == "lin":
+            out[k] = jnp.maximum(v[k], margin)
+        else:
+            tail = v[k][..., 1:]
+            head = v[k][..., :1]
+            need = jnp.linalg.norm(tail, axis=-1, keepdims=True) + margin
+            out[k] = jnp.concatenate([jnp.maximum(head, need), tail], axis=-1)
+    return out
+
+
 def _identity_W(spec, like: ConeVec):
     W = {}
     for k, kind in spec.items():
@@ -415,8 +430,15 @@ def _identity_W(spec, like: ConeVec):
     return W
 
 
-def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
-    """Solve one scenario's subproblem; vmap over scenarios for batches."""
+def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None
+              ) -> IPMState:
+    """Solve one scenario's subproblem; vmap over scenarios for batches.
+
+    ``init``: optional warm start from a previous (similar) subproblem's
+    solution — primal/dual iterates are reused with slacks pushed strictly
+    inside their cones. In the SCvx loop consecutive subproblems differ only
+    by the re-linearization, which typically halves the iteration count.
+    """
     spec = _spec_of(d)
     h = socp.cone_h(d)
     c = socp.objective(d)
@@ -425,29 +447,37 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig) -> IPMState:
     deg = C.degree(spec, h)
     dtype = d.c_w.dtype
 
-    # ---- initialization (CVXOPT conelp-style, W = I) ---------------------
-    W0 = _identity_W(spec, h)
-    f0 = factorize(d, W0, cfg)
-    # primal: min ||s|| heuristic -> solve with (0, b, h)
-    x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h, cfg)
-    s_cand = {k: h[k] - v for k, v in socp.apply_G(d, x0).items()}
-    s0 = _shift_into_cone(spec, s_cand, e)
-    # dual: solve with (-c, 0, 0)
-    mc = Primal(w=-c.w, p=-c.p, q=-c.q, sig=-c.sig)
-    _, y0, z_cand = solve_kkt(
-        d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0), cfg
-    )
-    z0 = _shift_into_cone(spec, z_cand, e)
+    def pin_project(x: Primal) -> Primal:
+        return Primal(w=x.w * d.free_w, p=x.p, q=x.q, sig=x.sig * d.free_sig)
+
+    if init is not None:
+        margin = jnp.asarray(cfg.warm_margin, dtype)
+        x0 = pin_project(init.x)
+        y0 = init.y
+        s0 = _push_interior(spec, init.s, margin)
+        z0 = _push_interior(spec, init.z, margin)
+    else:
+        # ---- cold init (CVXOPT conelp-style, W = I) ----------------------
+        W0 = _identity_W(spec, h)
+        f0 = factorize(d, W0, cfg)
+        # primal: min ||s|| heuristic -> solve with (0, b, h)
+        x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h, cfg)
+        s_cand = {k: h[k] - v for k, v in socp.apply_G(d, x0).items()}
+        s0 = _shift_into_cone(spec, s_cand, e)
+        # dual: solve with (-c, 0, 0)
+        mc = Primal(w=-c.w, p=-c.p, q=-c.q, sig=-c.sig)
+        _, y0, z_cand = solve_kkt(
+            d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0), cfg
+        )
+        z0 = _shift_into_cone(spec, z_cand, e)
+        x0 = pin_project(x0)
 
     cnorm = jnp.maximum(1.0, jnp.sqrt(socp.primal_inner(c, c)))
     bnorm = jnp.maximum(1.0, jnp.linalg.norm(b))
     hnorm = jnp.maximum(1.0, jnp.sqrt(C.inner(h, h)))
 
-    def pin_project(x: Primal) -> Primal:
-        return Primal(w=x.w * d.free_w, p=x.p, q=x.q, sig=x.sig * d.free_sig)
-
     state = IPMState(
-        x=pin_project(x0), y=y0, s=s0, z=z0,
+        x=x0, y=y0, s=s0, z=z0,
         converged=jnp.asarray(False),
         iters=jnp.asarray(0, jnp.int32),
         gap=jnp.asarray(jnp.inf, dtype), pres=jnp.asarray(jnp.inf, dtype),

@@ -52,6 +52,7 @@ class ScvxState(NamedTuple):
     dx_max: jnp.ndarray     # () last candidate's max |delta|
     ipm_gap: jnp.ndarray    # () last subproblem's final relative gap
     ipm_iters: jnp.ndarray  # () int32
+    ipm_carry: object       # ipm.IPMState — warm start for the next subproblem
 
     @property
     def J_nl(self):
@@ -117,6 +118,29 @@ def nonlinear_cost(model: Model, cfg: SolverConfig, params, X, U, sigma,
     return obj + penalty_scale * (s.w_nu * defect + s.w_feas * viol)
 
 
+def _unit_ipm_carry(model: Model, cfg: SolverConfig, params, X, U, sigma):
+    """Interior unit starting point shaped like this problem's IPM state."""
+    from successiveconvexification_tpu.ops import cones as C
+    from successiveconvexification_tpu.ops import ipm
+
+    dtype = X.dtype
+    d0 = socp.assemble(
+        model, cfg.scvx, params,
+        discretize(model, params, X, U, sigma,
+                   substeps=cfg.disc.substeps, foh=cfg.disc.foh),
+        X, U, sigma, jnp.asarray(cfg.scvx.tr_init, dtype),
+        free_final_time=cfg.free_final_time,
+    )
+    spec = ipm._spec_of(d0)
+    e = C.identity(spec, socp.cone_h(d0))
+    z = jnp.zeros((), dtype)
+    return ipm.IPMState(
+        x=socp.primal_zeros(d0), y=jnp.zeros_like(d0.b), s=e, z=e,
+        converged=jnp.asarray(False), iters=jnp.asarray(0, jnp.int32),
+        gap=z, pres=z, dres=z,
+    )
+
+
 def scvx_init(model: Model, params, cfg: SolverConfig) -> ScvxState:
     """Straight-line initial trajectory (SURVEY §3.1 initialize_trajectory)."""
     X, U, sigma = model.initial_guess(params, cfg.disc.K)
@@ -133,6 +157,48 @@ def scvx_init(model: Model, params, cfg: SolverConfig) -> ScvxState:
         accepted=jnp.asarray(False),
         rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf,
         ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
+        ipm_carry=_unit_ipm_carry(model, cfg, params, X, U, sigma),
+    )
+
+
+def apply_boundary_conditions(model: Model, params, X: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite the pinned components of the first/last node with the BCs
+    implied by ``params`` (via the model's initial guess)."""
+    Xg, _, _ = model.initial_guess(params, X.shape[0])
+    init_pin = jnp.asarray(model.init_pinned, X.dtype)
+    term_pin = jnp.asarray(model.term_pinned, X.dtype)
+    X = X.at[0].set(init_pin * Xg[0] + (1.0 - init_pin) * X[0])
+    X = X.at[-1].set(term_pin * Xg[-1] + (1.0 - term_pin) * X[-1])
+    return X
+
+
+def scvx_warm_start(model: Model, params, cfg: SolverConfig,
+                    X, U, sigma) -> ScvxState:
+    """Build an ScvxState from a previous solution (real-time replanning).
+
+    The pinned boundary components are overwritten with the NEW params' BCs
+    (the subproblem pins deltas to zero at those coordinates, so the reference
+    must carry the new boundary values); everything else reuses the previous
+    trajectory, which typically converges in a small fraction of a cold
+    start's iterations.
+    """
+    dtype = X.dtype
+    X = apply_boundary_conditions(model, params, X)
+    if model.project_state is not None:
+        X = model.project_state(X)
+    obj, defect, viol = merit_components(model, cfg, params, X, U, sigma)
+    z = jnp.zeros((), dtype)
+    return ScvxState(
+        X=X, U=U, sigma=jnp.asarray(sigma, dtype),
+        tr_radius=jnp.asarray(cfg.scvx.tr_init, dtype),
+        penalty_scale=jnp.ones((), dtype),
+        obj_nl=obj, defect_nl=defect, viol_nl=viol,
+        converged=jnp.asarray(False),
+        iterations=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(False),
+        rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf,
+        ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
+        ipm_carry=_unit_ipm_carry(model, cfg, params, X, U, sigma),
     )
 
 
@@ -155,8 +221,10 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
         free_final_time=cfg.free_final_time, penalty_scale=scale,
     )
 
-    # 3) solve it in-graph (L5)
-    sol = ipm.ipm_solve(d, cfg.ipm)
+    # 3) solve it in-graph (L5), warm-started from the previous subproblem
+    sol = ipm.ipm_solve(
+        d, cfg.ipm, init=st.ipm_carry if cfg.ipm.warm_start else None
+    )
 
     nx, nu = model.nx, model.nu
     nrx = model.nr if model.state_basis is not None else nx
@@ -256,6 +324,9 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
         dx_max=jnp.where(active, dx_max, st.dx_max),
         ipm_gap=jnp.where(active, sol.gap, st.ipm_gap),
         ipm_iters=jnp.where(active, sol.iters, st.ipm_iters),
+        ipm_carry=jax.tree.map(
+            lambda new, old: jnp.where(active, new, old), sol, st.ipm_carry
+        ),
     )
 
 
