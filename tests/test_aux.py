@@ -121,3 +121,35 @@ def test_plotting(tmp_path, solved):
     p = str(tmp_path / "traj.png")
     plot_trajectory(st.X, st.U, st.sigma, params=params, path=p)
     assert os.path.getsize(p) > 10000
+
+
+def test_deterministic_resume_equals_uninterrupted(tmp_path, small_cfg):
+    """SURVEY §5 failure recovery: resume-from-checkpoint must reproduce the
+    uninterrupted sweep exactly (deterministic carry, no wall-clock state)."""
+    from successiveconvexification_tpu.parallel.batch import sample_dispersions
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    pb = sample_dispersions(params, jax.random.PRNGKey(7), 4)
+    it = jax.jit(jax.vmap(lambda p, s: scvx_iteration(model, p, small_cfg, s)))
+    st = jax.jit(jax.vmap(lambda p: scvx_init(model, p, small_cfg)))(pb)
+
+    for _ in range(3):
+        st = it(pb, st)
+    path = str(tmp_path / "mid")
+    ckpt.save(path, st, cfg=small_cfg, step=3)
+
+    # uninterrupted continuation
+    st_a = st
+    for _ in range(3):
+        st_a = it(pb, st_a)
+
+    # simulated failure: restore into a fresh process-equivalent state
+    like = jax.tree.map(jnp.zeros_like, st)
+    st_b = ckpt.restore(path, like, cfg=small_cfg)
+    st_b = jax.tree.map(jnp.asarray, st_b)
+    for _ in range(3):
+        st_b = it(pb, st_b)
+
+    np.testing.assert_array_equal(np.asarray(st_a.X), np.asarray(st_b.X))
+    np.testing.assert_array_equal(np.asarray(st_a.sigma), np.asarray(st_b.sigma))
