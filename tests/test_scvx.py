@@ -38,7 +38,7 @@ def _run(model, params, cfg, iters):
 
 def _quality(model, params, cfg, st):
     xp = propagate(model, params, st.X, st.U, st.sigma,
-                   substeps=4 * cfg.disc.substeps)
+                   substeps=4 * cfg.disc.substeps, foh=cfg.disc.foh)
     max_defect = float(jnp.max(jnp.abs(xp - st.X[1:])))
     viol = float(cone_violation(model, params, st.X, st.U))
     return max_defect, viol
@@ -148,3 +148,44 @@ def test_tight_gimbal_partial():
     max_defect, viol = _quality(model, params, cfg, st)
     assert max_defect < 5e-2, max_defect
     assert viol < 8e-2, viol
+
+
+def test_zoh_discretization_mode():
+    """Zero-order hold: Bp must vanish and the loop still converges."""
+    from successiveconvexification_tpu.ops.discretize import discretize
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    X, U, sigma = model.initial_guess(params, 10)
+    d = discretize(model, params, X, U, sigma, substeps=4, foh=False)
+    assert float(jnp.max(jnp.abs(d.Bp))) == 0.0
+
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=12, substeps=4, foh=False),
+        ipm=scvx.IPMConfig(max_iters=20, refine_steps=1),
+    )
+    st = _run(model, params, cfg, 30)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 1e-3
+    assert viol < 1e-4
+
+
+def test_min_fuel_fixed_time():
+    """BASELINE config-1 style: fixed final time, maximize final mass."""
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=14, substeps=5),
+        ipm=scvx.IPMConfig(max_iters=25, refine_steps=1),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), w_sigma=0.0, w_mass=1.0),
+        free_final_time=False,
+    )
+    st = _run(model, params, cfg, 30)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert float(st.sigma) == float(params.tf_guess)  # time pinned
+    assert max_defect < 1e-3, max_defect
+    assert viol < 1e-4, viol
+    # fuel-optimal: final mass should beat the min-time solution's
+    assert float(st.X[-1, 0]) > 1.3
