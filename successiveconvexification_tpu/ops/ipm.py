@@ -360,9 +360,9 @@ def kkt_residual(d: StageSOCP, W, ux: Primal, uy, uz, bx: Primal, by, bz):
     return rx, ry, rz
 
 
-def solve_kkt_refined(d, f, W, bx, by, bz, cfg: IPMConfig):
+def solve_kkt_refined(d, f, W, bx, by, bz, cfg: IPMConfig, steps=None):
     ux, uy, uz = solve_kkt(d, f, W, bx, by, bz, cfg)
-    for _ in range(cfg.refine_steps):
+    for _ in range(cfg.refine_steps if steps is None else steps):
         rx, ry, rz = kkt_residual(d, W, ux, uy, uz, bx, by, bz)
         cx, cy, cz = solve_kkt(d, f, W, rx, ry, rz, cfg)
         ux = socp.primal_axpy(ux, cx, 1.0)
@@ -522,7 +522,10 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None
         bz_a = {k: -rz[k] + C.w_apply(spec, W, C.jordan_solve(spec, lam, ds_t))[k]
                 for k in rz}
         nrx = Primal(w=-rx.w, p=-rx.p, q=-rx.q, sig=-rx.sig)
-        dx_a, dy_a, dz_a = solve_kkt_refined(d, f, W, nrx, -ry, bz_a, cfg)
+        # the affine predictor only sets the centering parameter and the
+        # Mehrotra correction — it tolerates an unrefined solve
+        dx_a, dy_a, dz_a = solve_kkt_refined(d, f, W, nrx, -ry, bz_a, cfg,
+                                             steps=0)
         gdx = socp.apply_G(d, dx_a)
         ds_a = {k: -rz[k] - gdx[k] for k in rz}
 
