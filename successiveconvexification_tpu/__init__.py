@@ -36,7 +36,10 @@ _LAZY = {
     "scvx_init": "successiveconvexification_tpu.ops.scvx",
     "scvx_iteration": "successiveconvexification_tpu.ops.scvx",
     "scvx_solve": "successiveconvexification_tpu.ops.scvx",
+    "scvx_warm_start": "successiveconvexification_tpu.ops.scvx",
     "solve_batch": "successiveconvexification_tpu.parallel.batch",
+    "solve_batch_sharded": "successiveconvexification_tpu.parallel.batch",
+    "sample_dispersions": "successiveconvexification_tpu.parallel.batch",
 }
 
 

@@ -189,3 +189,19 @@ def test_min_fuel_fixed_time():
     assert viol < 1e-4, viol
     # fuel-optimal: final mass should beat the min-time solution's
     assert float(st.X[-1, 0]) > 1.3
+
+
+def test_hard_trust_region_mode():
+    """Classic SCvx hard-radius mode still converges on the 3-DoF problem."""
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=12, substeps=4),
+        ipm=scvx.IPMConfig(max_iters=25, refine_steps=1),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), tr_mode="hard", tr_init=1.0),
+    )
+    st = _run(model, params, cfg, 30)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 1e-3, max_defect
+    assert viol < 1e-4, viol
