@@ -118,11 +118,12 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     reg = jnp.asarray(cfg.static_reg, dtype)
 
     H, d_p, d_q, h_sig = build_H(d, W, reg)
-    chol_Hw = smallla.chol(H)
+    # hottest site: force the unrolled SoA path regardless of the env default
+    chol_Hw = smallla.chol(H, unrolled=True)
 
     # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
-    XE = _chol_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))   # (K-1, nw, nrow)
-    XF = _chol_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2))    # (K-1, nw, nrow)
+    XE = smallla.cho_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2), unrolled=True)
+    XF = smallla.cho_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2), unrolled=True)
 
     # virtual-control diagonal lives on the nx dynamics rows only; pinned
     # (structurally-zero) tangent rows get a unit diagonal

@@ -94,9 +94,9 @@ def fused_chol_solve(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
         grid=(Np // TILE,),
         in_specs=[
             pl.BlockSpec((1, n, n, TILE), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, n, m, TILE), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, m, TILE), lambda g: (g, 0, 0, 0),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),

@@ -18,16 +18,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_unrolled() -> bool:
+def _use_unrolled(unrolled: bool | None) -> bool:
     """Trace-time backend switch. Unrolled graphs are big (n^3/3 ops inlined at
     every call site), which is the right trade on TPU but slows CPU-test
-    compiles badly — conftest sets SCVX_SMALL_LA=lax for the CI suite."""
+    compiles badly — conftest sets SCVX_SMALL_LA=lax for the CI suite. Hot call
+    sites that want the SoA path regardless pass ``unrolled=True`` explicitly."""
+    if unrolled is not None:
+        return unrolled
     return os.environ.get("SCVX_SMALL_LA", "unrolled") != "lax"
 
 
-def chol(A: jnp.ndarray) -> jnp.ndarray:
+def chol(A: jnp.ndarray, unrolled: bool | None = None) -> jnp.ndarray:
     """Lower Cholesky of SPD (..., n, n), unrolled over n."""
-    if not _use_unrolled():
+    if not _use_unrolled(unrolled):
         return jnp.linalg.cholesky(A)
     n = A.shape[-1]
     L = [[None] * n for _ in range(n)]
@@ -52,9 +55,9 @@ def chol(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
-def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def solve_lower(L: jnp.ndarray, b: jnp.ndarray, unrolled: bool | None = None) -> jnp.ndarray:
     """Solve L x = b with L lower-triangular (..., n, n); b (..., n) or (..., n, m)."""
-    if not _use_unrolled():
+    if not _use_unrolled(unrolled):
         vec = b.ndim == L.ndim - 1
         bb = b[..., None] if vec else b
         out = jax.scipy.linalg.solve_triangular(L, bb, lower=True)
@@ -73,9 +76,9 @@ def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0] if vec else out
 
 
-def solve_upper_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def solve_upper_t(L: jnp.ndarray, b: jnp.ndarray, unrolled: bool | None = None) -> jnp.ndarray:
     """Solve L' x = b with L lower-triangular; b (..., n) or (..., n, m)."""
-    if not _use_unrolled():
+    if not _use_unrolled(unrolled):
         vec = b.ndim == L.ndim - 1
         bb = b[..., None] if vec else b
         out = jax.scipy.linalg.solve_triangular(
@@ -96,6 +99,6 @@ def solve_upper_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0] if vec else out
 
 
-def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def cho_solve(L: jnp.ndarray, b: jnp.ndarray, unrolled: bool | None = None) -> jnp.ndarray:
     """Solve (L L') x = b."""
-    return solve_upper_t(L, solve_lower(L, b))
+    return solve_upper_t(L, solve_lower(L, b, unrolled), unrolled)
