@@ -83,6 +83,17 @@ class ScvxConfig:
     rho0: float = 0.0            # below: reject + shrink
     rho1: float = 0.25           # [rho0, rho1): accept + shrink
     rho2: float = 0.7            # [rho1, rho2): accept, keep; >= rho2: accept + grow
+    # Soft (LM) mode only: growth factor for mid-zone accepts (rho1 <= rho < rho2).
+    # Classic SCvx holds the radius there, which under quadratic damping locks
+    # the iteration into a constant-step creep (the damping itself caps rho below
+    # rho2); gentle growth on every healthy accept lets the damping relax, and
+    # the reject->shrink rule self-corrects any overshoot. 1.0 = classic hold.
+    tr_grow_mid: float = 1.4142135623730951
+    # On a penalty bump the merit landscape rescales, so the trust state is
+    # re-opened — but only to tr_bump_grow x the current working radius (capped
+    # at tr_init): a full reset to tr_init wastes ~log2(tr_init/tr_work)
+    # rejected iterations re-shrinking every continuation round.
+    tr_bump_grow: float = 16.0
     # Filter-style second acceptance track: a step that reduces the raw
     # infeasibility (defect + violation) to <= filter_gamma of its current value
     # is accepted regardless of rho. This permits the large early
@@ -102,6 +113,11 @@ class ScvxConfig:
     # acceptance ratio healthy early; continuation guarantees exactness late.
     penalty_grow: float = 10.0
     penalty_scale_max: float = 1e4
+    # Warm-start hygiene: a subproblem solve ending with relative gap above this
+    # is considered failed and the IPM warm-start carry is reset to the interior
+    # unit point (also reset on every penalty bump — stale duals from a
+    # differently-scaled objective poison subsequent solves).
+    carry_reset_gap: float = 1e3
     # Convergence: step size below conv_tol_tr AND total (defect+violation) L1
     # below conv_tol_feas.
     conv_tol_tr: float = 1e-4

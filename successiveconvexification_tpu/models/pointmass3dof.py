@@ -91,8 +91,10 @@ def stage_cones(params: PointMass3DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
     )
     h_gs = jnp.stack([r[0], params.tan_gamma_gs * r[1], params.tan_gamma_gs * r[2]])
 
+    # delta columns enter G negated so s = h - G d is the cone vector at the
+    # updated point (see rocket6dof.stage_cones)
     iu = (NX, NX + 1, NX + 2)
-    G_tub = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), e(*iu)])
+    G_tub = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), -e(*iu)])
     h_tub = jnp.concatenate([params.T_max[None], uk])
 
     return G_lin, h_lin, ((G_gs, h_gs), (G_tub, h_tub))

@@ -156,21 +156,25 @@ def stage_cones(params: Rocket6DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
     )
     h_gs = jnp.stack([r[0], params.tan_gamma_gs * r[1], params.tan_gamma_gs * r[2]])
 
+    # SOC convention: s = h - G d must be the cone vector AT THE UPDATED point
+    # (head and tail alike), so delta columns enter G with a MINUS sign. A
+    # flipped tail (s1 = val - dval) still has the right fixed points (d = 0)
+    # but corrupts the SCvx acceptance ratio at first order.
     # tilt SOC(3): c_tilt >= ||(q2, q3)||
-    G_tilt = jnp.stack([jnp.zeros((nxu,), dtype=dtype), e(9)[0], e(10)[0]])
+    G_tilt = jnp.stack([jnp.zeros((nxu,), dtype=dtype), -e(9)[0], -e(10)[0]])
     h_tilt = jnp.stack([params.c_tilt * jnp.ones((), dtype), xk[9], xk[10]])
 
     # rate SOC(4): omega_max >= ||omega||
-    G_rate = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), e(11, 12, 13)])
+    G_rate = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), -e(11, 12, 13)])
     h_rate = jnp.concatenate([params.omega_max[None], xk[I_W]])
 
     # thrust ub SOC(4): T_max >= ||u||
     iu = (NX, NX + 1, NX + 2)
-    G_tub = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), e(*iu)])
+    G_tub = jnp.concatenate([jnp.zeros((1, nxu), dtype=dtype), -e(*iu)])
     h_tub = jnp.concatenate([params.T_max[None], uk])
 
     # gimbal SOC(4): u_1 / cos(delta_max) >= ||u||
-    G_gim = jnp.concatenate([-e(NX) / params.cos_delta_max, e(*iu)])
+    G_gim = jnp.concatenate([-e(NX) / params.cos_delta_max, -e(*iu)])
     h_gim = jnp.concatenate([(uk[0] / params.cos_delta_max)[None], uk])
 
     return G_lin, h_lin, ((G_gs, h_gs), (G_tilt, h_tilt), (G_rate, h_rate),

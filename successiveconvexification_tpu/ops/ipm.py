@@ -431,14 +431,21 @@ def _identity_W(spec, like: ConeVec):
     return W
 
 
-def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None
-              ) -> IPMState:
+def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
+              init_valid: jnp.ndarray | None = None) -> IPMState:
     """Solve one scenario's subproblem; vmap over scenarios for batches.
 
     ``init``: optional warm start from a previous (similar) subproblem's
     solution — primal/dual iterates are reused with slacks pushed strictly
     inside their cones. In the SCvx loop consecutive subproblems differ only
     by the re-linearization, which typically halves the iteration count.
+
+    ``init_valid``: optional () bool (traced; per-lane under vmap). When
+    given, the cold conelp-style init is ALSO computed and lanes with
+    ``init_valid == False`` start from it instead of ``init`` — the recovery
+    path after a failed solve or a penalty-rescaled objective, where stale
+    iterates poison the solve (the naive unit interior point is NOT a safe
+    substitute: on hard subproblems it stalls where the cold init converges).
     """
     spec = _spec_of(d)
     h = socp.cone_h(d)
@@ -451,27 +458,39 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None
     def pin_project(x: Primal) -> Primal:
         return Primal(w=x.w * d.free_w, p=x.p, q=x.q, sig=x.sig * d.free_sig)
 
-    if init is not None:
-        margin = jnp.asarray(cfg.warm_margin, dtype)
-        x0 = pin_project(init.x)
-        y0 = init.y
-        s0 = _push_interior(spec, init.s, margin)
-        z0 = _push_interior(spec, init.z, margin)
-    else:
+    if init is None or init_valid is not None:
         # ---- cold init (CVXOPT conelp-style, W = I) ----------------------
         W0 = _identity_W(spec, h)
         f0 = factorize(d, W0, cfg)
         # primal: min ||s|| heuristic -> solve with (0, b, h)
-        x0, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h, cfg)
-        s_cand = {k: h[k] - v for k, v in socp.apply_G(d, x0).items()}
-        s0 = _shift_into_cone(spec, s_cand, e)
+        xc, _, _ = solve_kkt(d, f0, W0, socp.primal_zeros(d), b, h, cfg)
+        s_cand = {k: h[k] - v for k, v in socp.apply_G(d, xc).items()}
+        sc = _shift_into_cone(spec, s_cand, e)
         # dual: solve with (-c, 0, 0)
         mc = Primal(w=-c.w, p=-c.p, q=-c.q, sig=-c.sig)
-        _, y0, z_cand = solve_kkt(
+        _, yc, z_cand = solve_kkt(
             d, f0, W0, mc, jnp.zeros_like(b), C.tree_scale(e, 0.0), cfg
         )
-        z0 = _shift_into_cone(spec, z_cand, e)
-        x0 = pin_project(x0)
+        zc = _shift_into_cone(spec, z_cand, e)
+        xc = pin_project(xc)
+
+    if init is not None:
+        margin = jnp.asarray(cfg.warm_margin, dtype)
+        xw = pin_project(init.x)
+        yw = init.y
+        sw = _push_interior(spec, init.s, margin)
+        zw = _push_interior(spec, init.z, margin)
+        if init_valid is None:
+            x0, y0, s0, z0 = xw, yw, sw, zw
+        else:
+            # per-lane select; where() (not arithmetic) so a NaN-carrying
+            # invalid warm start cannot leak into the cold branch
+            sel = lambda w, cold: jax.tree.map(
+                lambda a, b_: jnp.where(init_valid, a, b_), w, cold
+            )
+            x0, y0, s0, z0 = sel(xw, xc), sel(yw, yc), sel(sw, sc), sel(zw, zc)
+    else:
+        x0, y0, s0, z0 = xc, yc, sc, zc
 
     cnorm = jnp.maximum(1.0, jnp.sqrt(socp.primal_inner(c, c)))
     bnorm = jnp.maximum(1.0, jnp.linalg.norm(b))

@@ -99,7 +99,7 @@ def fused_chol_solve(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, m, TILE), lambda g: (g, 0, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(At, Bt)
 

@@ -134,10 +134,12 @@ def _unit_ipm_carry(model: Model, cfg: SolverConfig, params, X, U, sigma):
     spec = ipm._spec_of(d0)
     e = C.identity(spec, socp.cone_h(d0))
     z = jnp.zeros((), dtype)
+    # gap = inf is the "carry invalid" sentinel: the first iteration's solve
+    # starts from the cold conelp init rather than this placeholder.
     return ipm.IPMState(
         x=socp.primal_zeros(d0), y=jnp.zeros_like(d0.b), s=e, z=e,
         converged=jnp.asarray(False), iters=jnp.asarray(0, jnp.int32),
-        gap=z, pres=z, dres=z,
+        gap=z + jnp.inf, pres=z, dres=z,
     )
 
 
@@ -221,10 +223,16 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
         free_final_time=cfg.free_final_time, penalty_scale=scale,
     )
 
-    # 3) solve it in-graph (L5), warm-started from the previous subproblem
-    sol = ipm.ipm_solve(
-        d, cfg.ipm, init=st.ipm_carry if cfg.ipm.warm_start else None
-    )
+    # 3) solve it in-graph (L5), warm-started from the previous subproblem.
+    # carry.gap == inf is the "carry invalidated" sentinel (failed solve or
+    # penalty rescale last iteration): those lanes restart from the cold init.
+    if cfg.ipm.warm_start:
+        sol = ipm.ipm_solve(
+            d, cfg.ipm, init=st.ipm_carry,
+            init_valid=jnp.isfinite(st.ipm_carry.gap),
+        )
+    else:
+        sol = ipm.ipm_solve(d, cfg.ipm)
 
     nx, nu = model.nx, model.nu
     nrx = model.nr if model.state_basis is not None else nx
@@ -254,6 +262,18 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     if model.mass_index is not None and s.w_mass:
         obj_lin = obj_lin - s.w_mass * X_new[-1, model.mass_index]
     J_lin = obj_lin + scale * (s.w_nu * nu_l1 + s.w_feas * t_sum)
+    if s.tr_mode == "soft":
+        # LM gain ratio: the model cost the subproblem actually minimized
+        # includes the damping quadratic, so the damping paid by the step is
+        # part of the PREDICTED cost. Without this, heavy damping caps rho at
+        # ~actual/(actual + damping) < rho2 forever and the radius never grows
+        # (constant-step tail creep).
+        q_cost = 0.5 * (jnp.sum(d.Q_w * sol.x.w**2) + d.Q_sig * sol.x.sig**2)
+        if d.Q_r1.shape[1]:
+            q_cost = q_cost + 0.5 * jnp.sum(
+                jnp.einsum("kiw,kw->ki", d.Q_r1, sol.x.w) ** 2
+            )
+        J_lin = J_lin + q_cost
 
     predicted = J_cur - J_lin
     actual = J_cur - J_new
@@ -275,9 +295,11 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     # INVERSE LM damping — the same shrink/grow schedule adapts the damping.
     tr_shrunk = st.tr_radius * s.tr_shrink
     tr_grown = st.tr_radius * s.tr_grow
+    # soft/LM mode: grow gently on EVERY healthy accept (see config.tr_grow_mid)
+    tr_mid = st.tr_radius * (s.tr_grow_mid if s.tr_mode == "soft" else 1.0)
     tr_next = jnp.where(
         ~accept | (rho < s.rho1), tr_shrunk,
-        jnp.where(rho < s.rho2, st.tr_radius, tr_grown),
+        jnp.where(rho < s.rho2, tr_mid, tr_grown),
     )
     tr_next = jnp.clip(tr_next, s.tr_min, s.tr_max)
 
@@ -304,8 +326,22 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     conv_now = small_step & feasible
 
     tr_out = jnp.where(active, tr_next, st.tr_radius)
-    tr_out = jnp.where(bump, jnp.asarray(s.tr_init, dtype), tr_out)
+    # bump re-opens the trust state proportionally to the working radius
+    # (full tr_init reset wastes a shrink cascade every continuation round)
+    tr_bumped = jnp.clip(
+        tr_next * s.tr_bump_grow, s.tr_min, jnp.asarray(s.tr_init, dtype)
+    )
+    tr_out = jnp.where(bump, tr_bumped, tr_out)
     pscale = jnp.where(bump, st.penalty_scale * s.penalty_grow, st.penalty_scale)
+
+    # A failed subproblem solve (huge/non-finite gap) or a penalty-scale bump
+    # invalidates the warm-start carry: the stale duals re-poison every later
+    # solve (the IPM never recovers -> permanent reject loop). Mark the carry
+    # with the gap = inf sentinel; the next ipm_solve cold-starts those lanes.
+    ipm_bad = (~ipm_ok) | (~jnp.isfinite(sol.gap)) | (
+        sol.gap > s.carry_reset_gap
+    )
+    reset_carry = bump | (active & ipm_bad)
 
     return ScvxState(
         X=pick(X_new, st.X),
@@ -326,6 +362,11 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
         ipm_iters=jnp.where(active, sol.iters, st.ipm_iters),
         ipm_carry=jax.tree.map(
             lambda new, old: jnp.where(active, new, old), sol, st.ipm_carry
+        )._replace(
+            gap=jnp.where(
+                reset_carry, jnp.asarray(jnp.inf, dtype),
+                jnp.where(active, sol.gap, st.ipm_carry.gap),
+            )
         ),
     )
 
