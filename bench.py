@@ -34,9 +34,7 @@ def main():
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=50, substeps=8),
         ipm=scvx.IPMConfig(max_iters=n_ipm, refine_steps=1, warm_start=True),
-        scvx=dataclasses.replace(
-            scvx.ScvxConfig(), max_iters=n_scvx, w_feas=1000.0, tr_init=0.1
-        ),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=n_scvx),
     )
     model = scvx.rocket6dof_model()
     params = rk.default_params(dtype=jnp.float32)

@@ -60,11 +60,12 @@ class ScvxConfig:
     """SCvx outer-loop settings: trust region, penalties, acceptance (reference L6)."""
 
     max_iters: int = 15
-    # Trust-region mode: "soft" (LM-style quadratic damping lambda =
+    # Trust-region mode: "hard" (per-node SOC radius, classic SCvx — the
+    # default; converges markedly deeper per iteration since the cone-sign
+    # acceptance fix) or "soft" (LM-style quadratic damping lambda =
     # soft_tr_weight / tr_radius, with the same rho-driven shrink/grow adapting
-    # the damping — the default) or "hard" (per-node SOC radius, classic SCvx).
-    # Both use the nonlinear-cost acceptance ratio.
-    tr_mode: str = "soft"
+    # the damping). Both use the nonlinear-cost acceptance ratio.
+    tr_mode: str = "hard"
     soft_tr_weight: float = 5.0        # per-node quadratic weight on (dx, du)
     soft_tr_sigma_weight: float = 5.0  # quadratic weight on dsigma
     soft_tr_cap: float = 2.0           # hard per-node step cap in soft mode

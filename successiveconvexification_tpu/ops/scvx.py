@@ -175,7 +175,7 @@ def apply_boundary_conditions(model: Model, params, X: jnp.ndarray) -> jnp.ndarr
 
 
 def scvx_warm_start(model: Model, params, cfg: SolverConfig,
-                    X, U, sigma) -> ScvxState:
+                    X, U, sigma, tr_radius=None) -> ScvxState:
     """Build an ScvxState from a previous solution (real-time replanning).
 
     The pinned boundary components are overwritten with the NEW params' BCs
@@ -183,16 +183,26 @@ def scvx_warm_start(model: Model, params, cfg: SolverConfig,
     must carry the new boundary values); everything else reuses the previous
     trajectory, which typically converges in a small fraction of a cold
     start's iterations.
+
+    ``tr_radius``: initial trust radius. Default: the warm state's own
+    nonlinear defect (clipped to [8 tr_min, tr_init]) — the defect created by
+    the rewritten BCs is the natural scale of the correction the replan needs,
+    and starting at the full tr_init wastes a reject/shrink cascade when the
+    previous solution is already near-optimal.
     """
     dtype = X.dtype
     X = apply_boundary_conditions(model, params, X)
     if model.project_state is not None:
         X = model.project_state(X)
     obj, defect, viol = merit_components(model, cfg, params, X, U, sigma)
+    if tr_radius is None:
+        tr_radius = jnp.clip(
+            defect + viol, 8.0 * cfg.scvx.tr_min, cfg.scvx.tr_init
+        )
     z = jnp.zeros((), dtype)
     return ScvxState(
         X=X, U=U, sigma=jnp.asarray(sigma, dtype),
-        tr_radius=jnp.asarray(cfg.scvx.tr_init, dtype),
+        tr_radius=jnp.asarray(tr_radius, dtype),
         penalty_scale=jnp.ones((), dtype),
         obj_nl=obj, defect_nl=defect, viol_nl=viol,
         converged=jnp.asarray(False),

