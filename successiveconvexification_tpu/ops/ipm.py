@@ -604,5 +604,19 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
             dres=jnp.where(jnp.isfinite(dres), dres, st.dres),
         )
 
-    state = jax.lax.fori_loop(0, cfg.max_iters, body, state)
+    # while_loop with an "unconverged" condition instead of a fixed fori_loop:
+    # a converged solve stops paying for the remaining iteration budget. Under
+    # vmap the batched while runs until the SLOWEST lane converges — warm-
+    # started late-SCvx solves typically finish well under max_iters, and the
+    # per-lane `active` masking in body() keeps finished lanes frozen either
+    # way, so this is semantics-preserving.
+    def cond(carry):
+        i, st = carry
+        return (i < cfg.max_iters) & ~st.converged
+
+    def wbody(carry):
+        i, st = carry
+        return i + 1, body(i, st)
+
+    _, state = jax.lax.while_loop(cond, wbody, (jnp.asarray(0, jnp.int32), state))
     return state

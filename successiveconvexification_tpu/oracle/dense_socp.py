@@ -85,8 +85,11 @@ def _nt_scaling(cones, m, s, z):
         else:
             d = ss.shape[0]
             J = np.diag([1.0] + [-1.0] * (d - 1))
-            rs = ss @ J @ ss
-            rz = zz @ J @ zz
+            # iterates can graze the cone boundary in late iterations; floor
+            # the quadratic residues so the NT scaling stays finite (the
+            # solver then terminates on its own residual checks)
+            rs = max(ss @ J @ ss, 1e-300)
+            rz = max(zz @ J @ zz, 1e-300)
             sbar = ss / np.sqrt(rs)
             zbar = zz / np.sqrt(rz)
             gamma = np.sqrt((1.0 + sbar @ zbar) / 2.0)
