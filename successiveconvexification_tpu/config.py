@@ -41,6 +41,12 @@ class IPMConfig:
     max_iters: int = 30
     tol_gap: float = 1e-7        # duality-gap tolerance (relative)
     tol_feas: float = 1e-7       # primal/dual residual tolerance (relative)
+    # The EFFECTIVE tolerances are floored at tol_eps_mult * dtype-eps
+    # (f32: ~1.5e-5, f64: ~2.8e-14 at the default): demanding 1e-7 of an f32
+    # solve is unreachable, so without the floor no f32 lane ever freezes and
+    # every solve burns the full max_iters budget (and, batched, every lane
+    # pays for the slowest one's budget).
+    tol_eps_mult: float = 128.0
     static_reg: float = 1e-8     # static regularization delta on the KKT system
     frac_to_boundary: float = 0.98
     min_step: float = 1e-10      # step floor before a lane is declared stalled
@@ -78,12 +84,25 @@ class ScvxConfig:
     tr_max: float = 100.0
     tr_shrink: float = 0.5       # Delta <- tr_shrink * Delta on reject / weak accept
     tr_grow: float = 2.0         # Delta <- tr_grow * Delta on strong accept
+    # Hard mode, mid-zone accepts (rho1 <= rho < rho2): classic SCvx holds the
+    # radius, but on flat-valley problems the iterate then creeps at the TR cap
+    # forever (rho sits in the hold band at every radius, so the radius never
+    # shrinks and stationarity is never certified). A hold factor slightly
+    # below 1 leaks the radius down geometrically; strong accepts still grow,
+    # so the schedule self-balances while progress is real. 0.98 is gentle
+    # insurance against hold-band plateaus (0.9 certifies early at a visibly
+    # worse objective; 1.0 risks unbounded plateaus on some dispersed lanes).
+    tr_hold: float = 0.98
     # Time trust region |dsigma| <= tr_sigma_frac * sigma_bar.
     tr_sigma_frac: float = 0.3
     # Acceptance-ratio thresholds (rho = actual/predicted nonlinear cost decrease).
     rho0: float = 0.0            # below: reject + shrink
     rho1: float = 0.25           # [rho0, rho1): accept + shrink
-    rho2: float = 0.7            # [rho1, rho2): accept, keep; >= rho2: accept + grow
+    # rho2 = 0.9: grow only on near-exact model agreement. The classic 0.7
+    # re-grows eagerly and spends ~1/3 of the flagship K=50 solve's iterations
+    # on grow->reject->re-shrink cycles; 0.9 certifies in 36 iterations at a
+    # better objective (measured, f64 single-lane).
+    rho2: float = 0.9            # [rho1, rho2): accept, keep; >= rho2: accept + grow
     # Soft (LM) mode only: growth factor for mid-zone accepts (rho1 <= rho < rho2).
     # Classic SCvx holds the radius there, which under quadratic damping locks
     # the iteration into a constant-step creep (the damping itself caps rho below
@@ -93,8 +112,11 @@ class ScvxConfig:
     # On a penalty bump the merit landscape rescales, so the trust state is
     # re-opened — but only to tr_bump_grow x the current working radius (capped
     # at tr_init): a full reset to tr_init wastes ~log2(tr_init/tr_work)
-    # rejected iterations re-shrinking every continuation round.
-    tr_bump_grow: float = 16.0
+    # rejected iterations re-shrinking every continuation round. Bumps happen
+    # when the loop is already stationary-near-feasible, so the re-opening is
+    # gentle: each accepted step at radius r re-incurs O(r^2) defect, and with
+    # the bumped penalty the radius must end BELOW where it started.
+    tr_bump_grow: float = 2.0
     # Filter-style second acceptance track: a step that reduces the raw
     # infeasibility (defect + violation) to <= filter_gamma of its current value
     # is accepted regardless of rho. This permits the large early
@@ -103,8 +125,11 @@ class ScvxConfig:
     filter_gamma: float = 0.9
     # Penalty weights. Exact-penalty theory needs w_nu > ||dynamics duals||_inf
     # (O(1)-O(10) for the nondimensional problems); far larger values cripple the
-    # acceptance ratio, capping accepted steps at ~1/(w_nu * curvature).
-    w_nu: float = 100.0          # L1 virtual-control (dynamics defect) weight
+    # acceptance ratio, capping accepted steps at ~1/(w_nu * curvature): measured
+    # on the flagship K=50 6-DoF problem, w_nu=100 creeps (sigma -0.006/iter,
+    # never converges) while w_nu=10 reaches the optimum basin in ~12 iterations.
+    # Penalty continuation (below) restores exactness in the tail.
+    w_nu: float = 10.0           # L1 virtual-control (dynamics defect) weight
     w_feas: float = 100.0        # per-stage feasibility-buffer weight (state cones)
     w_sigma: float = 1.0         # time-of-flight weight (min-time term)
     w_mass: float = 0.0          # fuel weight: adds -w_mass * m_K to the cost
@@ -119,11 +144,38 @@ class ScvxConfig:
     # unit point (also reset on every penalty bump — stale duals from a
     # differently-scaled objective poison subsequent solves).
     carry_reset_gap: float = 1e3
-    # Convergence: step size below conv_tol_tr AND total (defect+violation) L1
-    # below conv_tol_feas.
+    # Solve-quality gate: primal/dual relative residuals above this mark the
+    # subproblem solve as FAILED — it cannot certify stationarity (no spurious
+    # continuation bumps) and its iterate is not reused as a warm start.
+    solve_fail_res: float = 1e-2
+    # Convergence: FEASIBLE (defect+violation L1 below conv_tol_feas) and
+    # STATIONARY. Stationarity accepts either of two certificates:
+    #   - step size below conv_tol_tr (the iterate stopped moving), or
+    #   - the subproblem's predicted merit decrease below conv_tol_pred (the
+    #     convexification's own optimality measure: the linearized problem can
+    #     find no descent, so the iterate is a SCvx fixed point even if the
+    #     trust region never collapsed — without this the flagship K=50 solve
+    #     creeps forever at the optimum with TR-capped steps of ~1e-2).
+    # conv_tol_pred is RELATIVE: the test is
+    #     predicted < conv_tol_pred * max(1, |J_cur|),
+    # which makes it invariant to the problem's merit scale (and to the late
+    # penalty-continuation rescaling, which inflates the merit via the
+    # penalty-weighted defect floor).
     conv_tol_tr: float = 1e-4
-    conv_tol_feas: float = 1e-6
-    conv_tol_nu: float = 1e-7  # legacy alias used by linear-merit checks
+    conv_tol_pred: float = 3e-4
+    # conv_tol_feas bounds the L1 SUM of the multiple-shooting defect plus the
+    # cone violations over all K nodes (~700 scalar entries at K=50): 1e-4
+    # total is ~1.4e-7 per entry, far inside the <1e-3 max-control-deviation
+    # gate. (1e-5 forces extra penalty-continuation rounds that add ~20
+    # iterations per lane for accuracy the mission metric cannot see.)
+    # The effective tolerance is floored at conv_feas_eps_mult * eps * n_rows
+    # (the dtype round-off floor of an n_rows-term L1 sum of O(1) states):
+    # in f32 the measured defect floor is ~2.5e-5 at K=50, which no penalty
+    # weight can push below — without the floor, continuation bumps the
+    # penalty to its cap chasing unreachable feasibility and the inflated
+    # merit scale destroys the stationarity certificate.
+    conv_tol_feas: float = 1e-4
+    conv_feas_eps_mult: float = 2.0
     # Guard: minimum sigma (time dilation) as a fraction of the initial guess.
     sigma_min_frac: float = 0.2
     sigma_max_frac: float = 4.0

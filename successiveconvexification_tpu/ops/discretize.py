@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from successiveconvexification_tpu.models.base import Model
+from successiveconvexification_tpu.ops.precision import full_precision
 
 
 class Discretization(NamedTuple):
@@ -113,6 +114,7 @@ def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, fo
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("substeps", "foh"))
+@full_precision
 def discretize(model: Model, params, X, U, sigma, substeps: int, foh: bool = True
                ) -> Discretization:
     """Vectorized discretization of the full trajectory.
@@ -132,6 +134,7 @@ def discretize(model: Model, params, X, U, sigma, substeps: int, foh: bool = Tru
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("substeps", "foh"))
+@full_precision
 def propagate(model: Model, params, X, U, sigma, substeps: int, foh: bool = True):
     """Nonlinear multiple-shooting propagation only (acceptance test, C11).
 

@@ -17,7 +17,7 @@ Elimination order (the whole point of the stage form):
      M = A H^-1 A' is BLOCK TRIDIAGONAL (nx-blocks along the K axis) plus a RANK-ONE
      arrow from the free-final-time sigma column, handled by Sherman-Morrison.
   3. Block-tridiagonal Cholesky via lax.scan (parallel-friendly cyclic-reduction and
-     Pallas variants live in ops/kkt_pallas.py — same interface).
+     Pallas variants live in ops/pallas_kkt.py — same interface).
 
 Everything is shaped (K, ...) / (K-1, ...) per scenario; ``jax.vmap`` adds the
 scenario axis and turns every small dense op into a large batched TPU kernel.
@@ -34,6 +34,7 @@ import numpy as np
 from successiveconvexification_tpu.config import IPMConfig
 from successiveconvexification_tpu.ops import cones as C
 from successiveconvexification_tpu.ops import smallla
+from successiveconvexification_tpu.ops.precision import full_precision
 from successiveconvexification_tpu.ops import socp
 from successiveconvexification_tpu.ops.socp import Primal, StageSOCP
 
@@ -431,6 +432,7 @@ def _identity_W(spec, like: ConeVec):
     return W
 
 
+@full_precision
 def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
               init_valid: jnp.ndarray | None = None) -> IPMState:
     """Solve one scenario's subproblem; vmap over scenarios for batches.
@@ -478,7 +480,16 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         margin = jnp.asarray(cfg.warm_margin, dtype)
         xw = pin_project(init.x)
         yw = init.y
-        sw = _push_interior(spec, init.s, margin)
+        # Slacks are DERIVED from the new problem's h (s = h - G x, pushed
+        # interior), never reused from the carry: consecutive subproblems
+        # re-linearize and rescale their cone rows (trust radius, penalty
+        # scale), so the old s is inconsistent with the new rows — starting
+        # with rz != 0 of O(1) poisons the first NT scaling and the solve
+        # diverges right after the SCvx reference moves. With x = 0 (the
+        # post-accept recentered carry) this gives s = h exactly: the
+        # canonical primal-feasible start with carried duals.
+        s_cand_w = {k: h[k] - v for k, v in socp.apply_G(d, xw).items()}
+        sw = _push_interior(spec, s_cand_w, margin)
         zw = _push_interior(spec, init.z, margin)
         if init_valid is None:
             x0, y0, s0, z0 = xw, yw, sw, zw
@@ -495,6 +506,11 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     cnorm = jnp.maximum(1.0, jnp.sqrt(socp.primal_inner(c, c)))
     bnorm = jnp.maximum(1.0, jnp.linalg.norm(b))
     hnorm = jnp.maximum(1.0, jnp.sqrt(C.inner(h, h)))
+
+    # dtype-aware tolerance floor (see IPMConfig.tol_eps_mult)
+    eps = float(jnp.finfo(dtype).eps)
+    tol_gap = max(cfg.tol_gap, cfg.tol_eps_mult * eps)
+    tol_feas = max(cfg.tol_feas, cfg.tol_eps_mult * eps)
 
     state = IPMState(
         x=x0, y=y0, s=s0, z=z0,
@@ -529,7 +545,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         pres = jnp.sqrt(jnp.linalg.norm(ry) ** 2 + C.inner(rz, rz)) / jnp.maximum(
             bnorm, hnorm)
         dres = jnp.sqrt(socp.primal_inner(rx, rx)) / cnorm
-        converged = (gap < cfg.tol_gap) & (pres < cfg.tol_feas) & (dres < cfg.tol_feas)
+        converged = (gap < tol_gap) & (pres < tol_feas) & (dres < tol_feas)
         active = ~(st.converged | converged)
         act = active.astype(dtype)
 

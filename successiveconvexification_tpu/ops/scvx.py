@@ -31,6 +31,7 @@ from successiveconvexification_tpu.config import SolverConfig
 from successiveconvexification_tpu.models.base import Model, safe_norm
 from successiveconvexification_tpu.ops import ipm, socp
 from successiveconvexification_tpu.ops.discretize import discretize, propagate
+from successiveconvexification_tpu.ops.precision import full_precision
 
 
 class ScvxState(NamedTuple):
@@ -50,6 +51,7 @@ class ScvxState(NamedTuple):
     rho: jnp.ndarray        # () last acceptance ratio
     nu_norm: jnp.ndarray    # () last candidate's virtual-control L1 norm
     dx_max: jnp.ndarray     # () last candidate's max |delta|
+    pred_dec: jnp.ndarray   # () last subproblem's predicted merit decrease
     ipm_gap: jnp.ndarray    # () last subproblem's final relative gap
     ipm_iters: jnp.ndarray  # () int32
     ipm_carry: object       # ipm.IPMState — warm start for the next subproblem
@@ -157,7 +159,7 @@ def scvx_init(model: Model, params, cfg: SolverConfig) -> ScvxState:
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),
-        rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf,
+        rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf, pred_dec=z + jnp.inf,
         ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
         ipm_carry=_unit_ipm_carry(model, cfg, params, X, U, sigma),
     )
@@ -208,13 +210,14 @@ def scvx_warm_start(model: Model, params, cfg: SolverConfig,
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),
-        rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf,
+        rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf, pred_dec=z + jnp.inf,
         ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
         ipm_carry=_unit_ipm_carry(model, cfg, params, X, U, sigma),
     )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
+@full_precision
 def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
                    ) -> ScvxState:
     """One full SCvx iteration (discretize + assemble + IPM + accept/reject)."""
@@ -295,6 +298,19 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     rho = actual / denom
 
     ipm_ok = jnp.all(jnp.isfinite(dX)) & jnp.isfinite(J_new)
+    # solve-quality gate: a subproblem whose evaluated linear merit EXCEEDS the
+    # delta=0 value (predicted << 0) or whose residuals are far above solver
+    # tolerance did not actually solve the subproblem; its candidate can be
+    # rejected by rho as usual, but it must not certify stationarity (else a
+    # failed solve right after a strong accept triggers a spurious penalty-
+    # continuation cascade) and its duals must not seed the next warm start.
+    solve_ok = (
+        ipm_ok
+        & jnp.isfinite(sol.gap)
+        & (sol.pres < s.solve_fail_res)
+        & (sol.dres < s.solve_fail_res)
+        & (predicted > -s.conv_tol_pred * jnp.maximum(1.0, jnp.abs(J_cur)))
+    )
     # two-track acceptance: merit ratio OR strict feasibility progress (filter)
     h_cur = st.defect_nl + st.viol_nl
     h_new = def2 + viol2
@@ -306,7 +322,8 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     tr_shrunk = st.tr_radius * s.tr_shrink
     tr_grown = st.tr_radius * s.tr_grow
     # soft/LM mode: grow gently on EVERY healthy accept (see config.tr_grow_mid)
-    tr_mid = st.tr_radius * (s.tr_grow_mid if s.tr_mode == "soft" else 1.0)
+    # hard mode: leak the radius down in the hold band (see config.tr_hold)
+    tr_mid = st.tr_radius * (s.tr_grow_mid if s.tr_mode == "soft" else s.tr_hold)
     tr_next = jnp.where(
         ~accept | (rho < s.rho1), tr_shrunk,
         jnp.where(rho < s.rho2, tr_mid, tr_grown),
@@ -322,18 +339,32 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     defect_after = pick(def2, st.defect_nl)
     viol_after = pick(viol2, st.viol_nl)
 
-    # convergence and penalty continuation: a tiny optimal step at a FEASIBLE
-    # point converges; a tiny step at an infeasible point is a spurious minimum
-    # of the penalized merit -> raise the penalty scale and reset the trust state
-    small_step = ipm_ok & (dx_max < s.conv_tol_tr)
-    feasible = (defect_after + viol_after) < s.conv_tol_feas
-    # continuation triggers on tiny steps OR an exhausted trust state (the
+    # convergence and penalty continuation: a STATIONARY point that is FEASIBLE
+    # converges; stationary-but-infeasible is a spurious minimum of the
+    # penalized merit -> raise the penalty scale and reset the trust state.
+    # Stationarity = tiny step OR tiny predicted decrease (the subproblem's own
+    # optimality certificate: the convexification can find no descent within
+    # the trust region, so waiting for the TR to collapse is pure creep).
+    small_step = solve_ok & (dx_max < s.conv_tol_tr)
+    small_pred = solve_ok & (
+        predicted < s.conv_tol_pred * jnp.maximum(1.0, jnp.abs(J_cur))
+    )
+    stationary = small_step | small_pred
+    # dtype-aware feasibility floor: an n-term L1 sum of O(1) quantities has a
+    # round-off floor ~ eps * n; demanding less is unreachable in f32 and
+    # sends the penalty continuation to its cap (see config.conv_feas_eps_mult)
+    tol_feas = max(
+        s.conv_tol_feas,
+        s.conv_feas_eps_mult * float(jnp.finfo(dtype).eps) * st.X.size,
+    )
+    feasible = (defect_after + viol_after) < tol_feas
+    # continuation triggers on stationarity OR an exhausted trust state (the
     # reject/accept cycle can hold dx above conv_tol_tr indefinitely)
-    stalled = small_step | (tr_next <= 8.0 * s.tr_min)
+    stalled = stationary | (tr_next <= 8.0 * s.tr_min)
     bump = active & stalled & (~feasible) & (
         st.penalty_scale < s.penalty_scale_max
     )
-    conv_now = small_step & feasible
+    conv_now = stationary & feasible
 
     tr_out = jnp.where(active, tr_next, st.tr_radius)
     # bump re-opens the trust state proportionally to the working radius
@@ -348,10 +379,19 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
     # invalidates the warm-start carry: the stale duals re-poison every later
     # solve (the IPM never recovers -> permanent reject loop). Mark the carry
     # with the gap = inf sentinel; the next ipm_solve cold-starts those lanes.
-    ipm_bad = (~ipm_ok) | (~jnp.isfinite(sol.gap)) | (
-        sol.gap > s.carry_reset_gap
-    )
+    ipm_bad = (~solve_ok) | (sol.gap > s.carry_reset_gap)
     reset_carry = bump | (active & ipm_bad)
+
+    # Warm-start carry: duals (y, z) are reused as-is; the PRIMAL delta is
+    # re-centered to the next subproblem's frame. On accept the reference
+    # moves to the candidate, so the old delta is exactly 0 in the new
+    # coordinates; on reject the reference stays but the radius shrinks, so
+    # the delta is scaled into the smaller trust region. (Slacks in the carry
+    # are ignored — ipm_solve re-derives s = h - G x from the new problem.)
+    carry_x_scale = jnp.where(upd, 0.0, jnp.asarray(s.tr_shrink, dtype))
+    carry_sol = sol._replace(
+        x=jax.tree.map(lambda a: a * carry_x_scale, sol.x)
+    )
 
     return ScvxState(
         X=pick(X_new, st.X),
@@ -368,10 +408,11 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState
         rho=jnp.where(active, rho, st.rho),
         nu_norm=jnp.where(active, nu_l1, st.nu_norm),
         dx_max=jnp.where(active, dx_max, st.dx_max),
+        pred_dec=jnp.where(active, predicted, st.pred_dec),
         ipm_gap=jnp.where(active, sol.gap, st.ipm_gap),
         ipm_iters=jnp.where(active, sol.iters, st.ipm_iters),
         ipm_carry=jax.tree.map(
-            lambda new, old: jnp.where(active, new, old), sol, st.ipm_carry
+            lambda new, old: jnp.where(active, new, old), carry_sol, st.ipm_carry
         )._replace(
             gap=jnp.where(
                 reset_carry, jnp.asarray(jnp.inf, dtype),

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from successiveconvexification_tpu.config import ScvxConfig
 from successiveconvexification_tpu.models.base import Model
 from successiveconvexification_tpu.ops.discretize import Discretization
+from successiveconvexification_tpu.ops.precision import full_precision
 
 
 class StageSOCP(NamedTuple):
@@ -89,6 +90,7 @@ def dims(model: Model, K: int):
 
 
 # ----------------------------------------------------------------- assembly
+@full_precision
 def assemble(
     model: Model,
     cfg: ScvxConfig,
