@@ -53,8 +53,10 @@ class IPMConfig:
     refine_steps: int = 1        # iterative-refinement sweeps on each KKT solve
     corrector: bool = True       # Mehrotra predictor-corrector (False = plain AHO)
     # Block-tridiagonal KKT backend: "scan" (sequential block Cholesky, O(K)
-    # depth) or "pcr" (parallel cyclic reduction, O(log K) depth — the
-    # TPU-latency-friendly choice for batched solves).
+    # depth), "pcr" (parallel cyclic reduction, O(log K) depth — the
+    # TPU-latency-friendly choice for batched solves), or "ksharded"
+    # (cross-chip substructured solve over a device mesh axis; install the
+    # mesh with parallel.kkt_sharded.set_kkt_mesh first — SURVEY P3/P4).
     kkt_solver: str = "scan"
     # Warm-start the IPM from the previous SCvx iteration's subproblem solution.
     warm_start: bool = True

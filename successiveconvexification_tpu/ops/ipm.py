@@ -143,6 +143,12 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
 
     if cfg.kkt_solver == "pcr":
         tri = _pcr_factor(D, O)
+    elif cfg.kkt_solver == "ksharded":
+        # cross-chip substructured solve (SURVEY P3/P4); mesh installed via
+        # parallel.kkt_sharded.set_kkt_mesh
+        from successiveconvexification_tpu.parallel import kkt_sharded
+
+        tri = kkt_sharded.ksharded_factor(D, O)
     else:
         tri = _blocktridiag_factor(D, O)
 
@@ -159,6 +165,10 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
 def _tri_solve(cfg: IPMConfig, tri, rhs):
     if cfg.kkt_solver == "pcr":
         return _pcr_solve(tri, rhs)
+    if cfg.kkt_solver == "ksharded":
+        from successiveconvexification_tpu.parallel import kkt_sharded
+
+        return kkt_sharded.ksharded_solve(tri, rhs)
     chol_D, Coff = tri
     return _blocktridiag_solve(chol_D, Coff, rhs)
 

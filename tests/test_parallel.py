@@ -95,24 +95,88 @@ def test_ksharded_blocktridiag_matches_local():
         solve_blocktridiag_ksharded,
     )
 
-    N, nx = 48, 7
+    mesh = mesh_lib.make_mesh(axes=("kkt",))
     rng = np.random.default_rng(0)
-    # build SPD block tridiag: M = A A' + N*I restricted to tridiag pattern
-    # simpler: random couplings + diagonally-dominant diagonal blocks
-    O = jnp.asarray(rng.standard_normal((N - 1, nx, nx)))
-    Dsym = rng.standard_normal((N, nx, nx))
-    D = jnp.asarray(Dsym @ np.swapaxes(Dsym, 1, 2)) + (
-        4.0 * nx * jnp.eye(nx)[None]
-    )
-    rhs = jnp.asarray(rng.standard_normal((N, nx)))
+    # N=48 divides the 8 shards; N=49 (the flagship K-1, prime) and N=10
+    # exercise the identity-block padding path
+    for N in (48, 49, 10):
+        nx = 7
+        O = jnp.asarray(rng.standard_normal((N - 1, nx, nx)))
+        Dsym = rng.standard_normal((N, nx, nx))
+        D = jnp.asarray(Dsym @ np.swapaxes(Dsym, 1, 2)) + (
+            4.0 * nx * jnp.eye(nx)[None]
+        )
+        rhs = jnp.asarray(rng.standard_normal((N, nx)))
 
-    u_ref = _blocktridiag_solve(*_blocktridiag_factor(D, O), rhs)
+        u_ref = _blocktridiag_solve(*_blocktridiag_factor(D, O), rhs)
+        u_sh = solve_blocktridiag_ksharded(D, O, rhs, mesh=mesh, axis="kkt")
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=1e-9, atol=1e-9, err_msg=f"N={N}")
+
+
+def test_config4_scale_4096_lane_sweep():
+    """BASELINE config-4 scale demonstration: a 4096-scenario dispersed sweep
+    (per-lane masks, sharded over the 8-virtual-device mesh, batch_stats
+    collectives) executes one full masked SCvx iteration at tiny K. Validates
+    shapes/sharding/masking at production lane count — no real chips needed."""
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=jnp.float32)
+    cfg = scvx.SolverConfig(
+        dtype="float32",
+        disc=scvx.DiscretizationConfig(K=5, substeps=1),
+        ipm=scvx.IPMConfig(max_iters=2, refine_steps=0),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=1),
+    )
+    B = 4096
+    pb = sample_dispersions(params, jax.random.PRNGKey(7), B,
+                            r_std=0.2, v_std=0.1, m_frac_std=0.02)
+    mesh = mesh_lib.make_mesh()
+    out = solve_batch_sharded(model, pb, cfg, mesh=mesh)
+    stats = batch_stats(out)
+    assert out.X.shape == (B, 5, 7)
+    assert int(stats.n_total) == B
+    assert bool(jnp.all(jnp.isfinite(out.sigma)))
+    assert len({s.device for s in out.X.addressable_shards}) == 8
+
+
+def test_ksharded_ipm_matches_scan_on_flagship_subproblem():
+    """kkt_solver="ksharded" inside the REAL solver: the first flagship-scale
+    (K=50) 6-DoF subproblem solved with the cross-chip substructured KKT on an
+    8-virtual-device mesh must match the local scan backend."""
+    from successiveconvexification_tpu.models import rocket6dof as rk
+    from successiveconvexification_tpu.ops import ipm, socp
+    from successiveconvexification_tpu.ops.discretize import discretize
+    from successiveconvexification_tpu.ops.scvx import scvx_init
+    from successiveconvexification_tpu.parallel import kkt_sharded
+
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=50, substeps=3),
+        ipm=scvx.IPMConfig(max_iters=30, refine_steps=1),
+    )
+    st = scvx_init(model, params, cfg)
+    d = socp.assemble(
+        model, cfg.scvx, params,
+        discretize(model, params, st.X, st.U, st.sigma, substeps=3),
+        st.X, st.U, st.sigma, st.tr_radius, True, st.penalty_scale,
+    )
+
+    sol_scan = jax.jit(lambda d: ipm.ipm_solve(d, cfg.ipm))(d)
 
     mesh = mesh_lib.make_mesh(axes=("kkt",))
-    u_sh = solve_blocktridiag_ksharded(D, O, rhs, mesh=mesh, axis="kkt")
-    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
-                               rtol=1e-9, atol=1e-9)
+    kkt_sharded.set_kkt_mesh(mesh, "kkt")
+    try:
+        cfg_sh = dataclasses.replace(cfg.ipm, kkt_solver="ksharded")
+        sol_sh = jax.jit(lambda d: ipm.ipm_solve(d, cfg_sh))(d)
+    finally:
+        kkt_sharded.set_kkt_mesh(None)
 
-    # shape guard: indivisible N raises
-    with pytest.raises(ValueError):
-        solve_blocktridiag_ksharded(D[:10], O[:9], rhs[:10], mesh=mesh)
+    assert bool(sol_scan.converged) and bool(sol_sh.converged)
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.x.w), np.asarray(sol_scan.x.w), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(sol_sh.x.sig), float(sol_scan.x.sig), atol=1e-8
+    )
