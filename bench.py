@@ -33,8 +33,8 @@ def main():
     import os
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
-    n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "50"))
-    n_ipm = int(os.environ.get("BENCH_IPM_ITERS", "20"))
+    n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "60"))
+    n_ipm = int(os.environ.get("BENCH_IPM_ITERS", "15"))
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=50, substeps=8),

@@ -78,6 +78,16 @@ def cmd_solve(args, overrides):
     dtype = jnp.dtype(cfg.dtype)
     model, params = _get_model(args.model, dtype)
 
+    if args.profile:
+        from successiveconvexification_tpu.utils.metrics import profile_trace
+
+        # compile first so the trace captures steady-state execution only
+        st = scvx_solve(model, params, cfg)
+        jax.block_until_ready(st.X)
+        with profile_trace(args.profile):
+            st = scvx_solve(model, params, cfg)
+            jax.block_until_ready(st.X)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     t0 = time.perf_counter()
     st = scvx_solve(model, params, cfg)
     jax.block_until_ready(st.X)
@@ -122,6 +132,15 @@ def cmd_sweep(args, overrides):
         "config": cfg.to_dict(),
     }) if args.metrics else None
 
+    if args.profile:
+        from successiveconvexification_tpu.utils.metrics import profile_trace
+
+        st = solve_batch(model, pb, cfg)     # compile outside the trace
+        jax.block_until_ready(st.X)
+        with profile_trace(args.profile):
+            st = solve_batch(model, pb, cfg)
+            jax.block_until_ready(st.X)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     t0 = time.perf_counter()
     st = solve_batch(model, pb, cfg)
     jax.block_until_ready(st.X)
@@ -166,6 +185,8 @@ def main(argv=None):
     ps.add_argument("--dtype", default=None)
     ps.add_argument("--out", default=None)
     ps.add_argument("--plot", default=None)
+    ps.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one solve to DIR")
 
     pw = sub.add_parser("sweep")
     pw.add_argument("--model", default="rocket6dof")
@@ -174,6 +195,8 @@ def main(argv=None):
     pw.add_argument("--seed", type=int, default=0)
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--metrics", default=None)
+    pw.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one sweep to DIR")
 
     pb = sub.add_parser("bench")
     pb.add_argument("--batch", type=int, default=256)

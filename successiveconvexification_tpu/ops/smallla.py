@@ -102,3 +102,64 @@ def solve_upper_t(L: jnp.ndarray, b: jnp.ndarray, unrolled: bool | None = None) 
 def cho_solve(L: jnp.ndarray, b: jnp.ndarray, unrolled: bool | None = None) -> jnp.ndarray:
     """Solve (L L') x = b."""
     return solve_upper_t(L, solve_lower(L, b, unrolled), unrolled)
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal SPD factor / solve (sequential scan along the block axis).
+# The K-axis KKT Schur system of ops/ipm.py; the Pallas VMEM-resident variant
+# (ops/pallas_kkt.py) implements the same contract with lanes = batch.
+# ---------------------------------------------------------------------------
+def blocktridiag_factor(D: jnp.ndarray, O: jnp.ndarray):
+    """Block-tridiagonal Cholesky: returns per-block lower factors L_k and the
+    forward couplings C_k = L_{k-1}^{-1} O_{k-1} (C_0 = 0).
+
+    M = [D_0 O_0; O_0' D_1 O_1; ...];  S_k = D_k - C_k' C_k;  L_k = chol(S_k).
+    Sequential scan along K (SURVEY §2.3 P4 notes the cyclic-reduction alternative).
+    """
+    n = D.shape[0]
+    nx = D.shape[-1]
+    dtype = D.dtype
+    O_pad = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), O], axis=0)  # O_pad[k]=O_{k-1}
+
+    def step(L_prev, inputs):
+        D_k, O_km1 = inputs
+        Ck = solve_lower(L_prev, O_km1)
+        S = D_k - Ck.T @ Ck
+        Lk = chol(S)
+        return Lk, (Lk, Ck)
+
+    # first block has no coupling: seed with identity and zero O
+    L0 = chol(D[0])
+    if n == 1:
+        return L0[None], jnp.zeros((1, nx, nx), dtype)
+    Llast, (Ls, Cs) = jax.lax.scan(step, L0, (D[1:], O_pad[1:]))
+    chol_D = jnp.concatenate([L0[None], Ls], axis=0)
+    Coff = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), Cs], axis=0)
+    return chol_D, Coff
+
+
+def blocktridiag_solve(chol_D, Coff, rhs):
+    """Solve M u = rhs given the block factorization; rhs (K-1, nx) or (K-1, nx, m)."""
+    vec = rhs.ndim == 2
+    if vec:
+        rhs = rhs[..., None]
+
+    # forward: v_k = L_k^-1 (r_k - C_k' v_{k-1})
+    def fwd(v_prev, inputs):
+        L_k, C_k, r_k = inputs
+        v_k = solve_lower(L_k, r_k - C_k.T @ v_prev)
+        return v_k, v_k
+
+    v0 = jnp.zeros_like(rhs[0])
+    _, V = jax.lax.scan(fwd, v0, (chol_D, Coff, rhs))
+
+    # backward: u_k = L_k^-T (v_k - C_{k+1} u_{k+1})
+    def bwd(u_next, inputs):
+        L_k, C_kp1, v_k = inputs
+        u_k = solve_upper_t(L_k, v_k - C_kp1 @ u_next)
+        return u_k, u_k
+
+    nplus = jnp.zeros_like(rhs[0])
+    C_shift = jnp.concatenate([Coff[1:], jnp.zeros_like(Coff[:1])], axis=0)
+    _, U = jax.lax.scan(bwd, nplus, (chol_D, C_shift, V), reverse=True)
+    return U[..., 0] if vec else U

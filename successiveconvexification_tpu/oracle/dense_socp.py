@@ -189,8 +189,9 @@ def solve(
     if P is None:
         P = np.zeros((n, n))
 
-    def kkt_solve(W, Winv, bx, by, bz):
-        """Solve the full dense KKT with static reg + one refinement pass."""
+    def kkt_factor(W):
+        """LU-factor the regularized KKT once per NT scaling (the predictor
+        and corrector share it — the factorization is the dominant cost)."""
         WtW = W @ W
         Kmat = np.zeros((n + p + m, n + p + m))
         Kmat[:n, :n] = P + reg * np.eye(n)
@@ -200,23 +201,28 @@ def solve(
         Kmat[n : n + p, n : n + p] = -reg * np.eye(p)
         Kmat[n + p :, :n] = G
         Kmat[n + p :, n + p :] = -WtW
-        rhs = np.concatenate([bx, by, bz])
         lu = scipy.linalg.lu_factor(Kmat)
-        sol = scipy.linalg.lu_solve(lu, rhs)
-        # one refinement vs the unregularized system
         Ktrue = Kmat.copy()
         Ktrue[:n, :n] = P
         Ktrue[n : n + p, n : n + p] = 0.0
+        return lu, Ktrue
+
+    def kkt_solve_fac(fac, bx, by, bz):
+        """Solve against a cached factorization + one refinement pass vs the
+        unregularized system."""
+        lu, Ktrue = fac
+        rhs = np.concatenate([bx, by, bz])
+        sol = scipy.linalg.lu_solve(lu, rhs)
         sol = sol + scipy.linalg.lu_solve(lu, rhs - Ktrue @ sol)
         return sol[:n], sol[n : n + p], sol[n + p :]
 
-    # --- init (W = I) -----------------------------------------------------
-    I_W = np.eye(m)
-    x, y, _ = kkt_solve(I_W, I_W, np.zeros(n), b, h)
+    # --- init (W = I; both solves share one factorization) ----------------
+    fac0 = kkt_factor(np.eye(m))
+    x, y, _ = kkt_solve_fac(fac0, np.zeros(n), b, h)
     s = h - G @ x
     a = _interior_shift(cones_s, s)
     s = s + (1.0 + a) * e
-    xd, y, z = kkt_solve(I_W, I_W, -c, np.zeros(p), np.zeros(m))
+    xd, y, z = kkt_solve_fac(fac0, -c, np.zeros(p), np.zeros(m))
     a = _interior_shift(cones_s, z)
     z = z + (1.0 + a) * e
 
@@ -249,7 +255,8 @@ def solve(
 
         ds_t = _jordan_mul(cones_s, lam, lam)
         bz_a = -rz + W @ _jordan_solve(cones_s, lam, ds_t)
-        dx_a, dy_a, dz_a = kkt_solve(W, Winv, -rx, -ry, bz_a)
+        fac = kkt_factor(W)
+        dx_a, dy_a, dz_a = kkt_solve_fac(fac, -rx, -ry, bz_a)
         ds_a = -rz - G @ dx_a
 
         alpha_aff = min(
@@ -261,7 +268,7 @@ def solve(
         gamma = _jordan_mul(cones_s, Winv @ ds_a, W @ dz_a)
         ds_t2 = ds_t + gamma - eta * mu * e
         bz_c = -rz + W @ _jordan_solve(cones_s, lam, ds_t2)
-        dx, dy, dz = kkt_solve(W, Winv, -rx, -ry, bz_c)
+        dx, dy, dz = kkt_solve_fac(fac, -rx, -ry, bz_c)
         ds = -rz - G @ dx
 
         if not all(np.all(np.isfinite(v)) for v in (dx, dy, dz, ds)):
