@@ -61,6 +61,14 @@ class IPMConfig:
     # Warm-start the IPM from the previous SCvx iteration's subproblem solution.
     warm_start: bool = True
     warm_margin: float = 1e-3    # interior pushback for reused slacks/duals
+    # Route the hot KKT block algebra (stage-Hessian Cholesky + solves, the
+    # block-tridiagonal Schur factor/solve) through the VMEM-resident Pallas
+    # SoA kernels in ops/pallas_kkt.py instead of the XLA-fused ops/smallla.py
+    # path. Same math; the kernels keep every factorization intermediate in
+    # VMEM (the smallla path round-trips O(n^2) temporaries through HBM per
+    # block, which leaves the engine bandwidth-bound). Off-TPU the kernels run
+    # in interpret mode — correct but slow, so leave False on CPU.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,8 +200,6 @@ class SolverConfig:
     scvx: ScvxConfig = dataclasses.field(default_factory=ScvxConfig)
     # Compute dtype for the solver ("float32" on TPU, "float64" for CPU oracles).
     dtype: str = "float32"
-    # Use the Pallas TPU kernels for the hot paths when available.
-    use_pallas: bool = False
     free_final_time: bool = True
 
     # ------------------------------------------------------------------ serde
@@ -204,6 +210,16 @@ class SolverConfig:
     def from_dict(cls, d: Mapping[str, Any]) -> "SolverConfig":
         d = dict(d)
         kwargs: dict[str, Any] = {}
+        # legacy location: use_pallas used to live on SolverConfig
+        if "use_pallas" in d:
+            up = d.pop("use_pallas")
+            ipm = d.get("ipm")
+            if isinstance(ipm, IPMConfig):
+                d["ipm"] = dataclasses.replace(ipm, use_pallas=up)
+            else:
+                ipm = dict(ipm) if isinstance(ipm, Mapping) else {}
+                ipm.setdefault("use_pallas", up)
+                d["ipm"] = ipm
         for sub_name, sub_cls in (
             ("disc", DiscretizationConfig),
             ("ipm", IPMConfig),

@@ -111,6 +111,14 @@ def _chol_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return smallla.cho_solve(chol, rhs)
 
 
+def _pallas():
+    """Lazy import of the Pallas kernel suite (only touched when
+    cfg.use_pallas is set — keeps CPU-only deployments import-light)."""
+    from successiveconvexification_tpu.ops import pallas_kkt
+
+    return pallas_kkt
+
+
 def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     K, nw = d.c_w.shape
     nx = d.c_p.shape[-1]
@@ -119,12 +127,21 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     reg = jnp.asarray(cfg.static_reg, dtype)
 
     H, d_p, d_q, h_sig = build_H(d, W, reg)
-    # hottest site: force the unrolled SoA path regardless of the env default
-    chol_Hw = smallla.chol(H, unrolled=True)
-
-    # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
-    XE = smallla.cho_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2), unrolled=True)
-    XF = smallla.cho_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2), unrolled=True)
+    if cfg.use_pallas:
+        # VMEM-resident SoA kernels: the factorization never leaves VMEM, and
+        # under vmap the scenario axis folds into the kernel lane tile
+        PK = _pallas()
+        chol_Hw = PK.chol(H)
+        XE = PK.cho_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2))
+        XF = PK.cho_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2))
+    else:
+        # hottest site: force the unrolled SoA path regardless of env default
+        chol_Hw = smallla.chol(H, unrolled=True)
+        # Hw^-1 E', Hw^-1 F'  (E_k on w_k, F_k on w_{k+1})
+        XE = smallla.cho_solve(chol_Hw[:-1], jnp.swapaxes(d.E, 1, 2),
+                               unrolled=True)
+        XF = smallla.cho_solve(chol_Hw[1:], jnp.swapaxes(d.F, 1, 2),
+                               unrolled=True)
 
     # virtual-control diagonal lives on the nx dynamics rows only; pinned
     # (structurally-zero) tangent rows get a unit diagonal
@@ -149,6 +166,8 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
         from successiveconvexification_tpu.parallel import kkt_sharded
 
         tri = kkt_sharded.ksharded_factor(D, O)
+    elif cfg.use_pallas:
+        tri = _pallas().tridiag_factor(D, O)
     else:
         tri = _blocktridiag_factor(D, O)
 
@@ -170,6 +189,8 @@ def _tri_solve(cfg: IPMConfig, tri, rhs):
 
         return kkt_sharded.ksharded_solve(tri, rhs)
     chol_D, Coff = tri
+    if cfg.use_pallas:
+        return _pallas().tridiag_solve(chol_D, Coff, rhs)
     return _blocktridiag_solve(chol_D, Coff, rhs)
 
 
@@ -264,65 +285,17 @@ def _pcr_solve(factors, rhs):
     return u[..., 0] if vec else u
 
 
-def _blocktridiag_factor(D: jnp.ndarray, O: jnp.ndarray):
-    """Block-tridiagonal Cholesky: returns per-block lower factors L_k and the
-    forward couplings C_k = L_{k-1}^{-1} O_{k-1} (C_0 = 0).
-
-    M = [D_0 O_0; O_0' D_1 O_1; ...];  S_k = D_k - C_k' C_k;  L_k = chol(S_k).
-    Sequential scan along K (SURVEY §2.3 P4 notes the cyclic-reduction alternative).
-    """
-    n = D.shape[0]
-    nx = D.shape[-1]
-    dtype = D.dtype
-    O_pad = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), O], axis=0)  # O_pad[k]=O_{k-1}
-
-    def step(L_prev, inputs):
-        D_k, O_km1 = inputs
-        Ck = smallla.solve_lower(L_prev, O_km1)
-        S = D_k - Ck.T @ Ck
-        Lk = smallla.chol(S)
-        return Lk, (Lk, Ck)
-
-    # first block has no coupling: seed with identity and zero O
-    L0 = smallla.chol(D[0])
-    if n == 1:
-        return L0[None], jnp.zeros((1, nx, nx), dtype)
-    Llast, (Ls, Cs) = jax.lax.scan(step, L0, (D[1:], O_pad[1:]))
-    chol_D = jnp.concatenate([L0[None], Ls], axis=0)
-    Coff = jnp.concatenate([jnp.zeros((1, nx, nx), dtype), Cs], axis=0)
-    return chol_D, Coff
+_blocktridiag_factor = smallla.blocktridiag_factor
+_blocktridiag_solve = smallla.blocktridiag_solve
 
 
-def _blocktridiag_solve(chol_D, Coff, rhs):
-    """Solve M u = rhs given the block factorization; rhs (K-1, nx) or (K-1, nx, m)."""
-    vec = rhs.ndim == 2
-    if vec:
-        rhs = rhs[..., None]
-
-    # forward: v_k = L_k^-1 (r_k - C_k' v_{k-1})
-    def fwd(v_prev, inputs):
-        L_k, C_k, r_k = inputs
-        v_k = smallla.solve_lower(L_k, r_k - C_k.T @ v_prev)
-        return v_k, v_k
-
-    v0 = jnp.zeros_like(rhs[0])
-    _, V = jax.lax.scan(fwd, v0, (chol_D, Coff, rhs))
-
-    # backward: u_k = L_k^-T (v_k - C_{k+1} u_{k+1})
-    def bwd(u_next, inputs):
-        L_k, C_kp1, v_k = inputs
-        u_k = smallla.solve_upper_t(L_k, v_k - C_kp1 @ u_next)
-        return u_k, u_k
-
-    nplus = jnp.zeros_like(rhs[0])
-    C_shift = jnp.concatenate([Coff[1:], jnp.zeros_like(Coff[:1])], axis=0)
-    _, U = jax.lax.scan(bwd, nplus, (chol_D, C_shift, V), reverse=True)
-    return U[..., 0] if vec else U
-
-
-def _H_solve(f: KKTFactors, bx: Primal) -> Primal:
+def _H_solve(f: KKTFactors, bx: Primal, cfg: IPMConfig) -> Primal:
+    if cfg.use_pallas:
+        w = _pallas().cho_solve_vec(f.chol_Hw, bx.w)
+    else:
+        w = _chol_solve(f.chol_Hw, bx.w)
     return Primal(
-        w=_chol_solve(f.chol_Hw, bx.w),
+        w=w,
         p=bx.p / f.d_p,
         q=bx.q / f.d_q,
         sig=bx.sig / f.h_sig,
@@ -335,13 +308,13 @@ def solve_kkt(d: StageSOCP, f: KKTFactors, W, bx: Primal, by: jnp.ndarray,
     spec = _spec_of(d)
     bxt = socp.primal_axpy(bx, socp.apply_GT(d, C.winv2_apply(spec, W, bz)), 1.0)
 
-    ry = socp.apply_A(d, _H_solve(f, bxt)) - by
+    ry = socp.apply_A(d, _H_solve(f, bxt, cfg)) - by
     # M uy = ry with M = M0 + g g'/h_sig  (Sherman-Morrison)
     t1 = _tri_solve(cfg, f.tri, ry)
     coef = jnp.sum(d.g_sig * t1) / f.sm_denom
     uy = t1 - f.sm_t * coef
 
-    ux = _H_solve(f, socp.primal_axpy(bxt, socp.apply_AT(d, uy), -1.0))
+    ux = _H_solve(f, socp.primal_axpy(bxt, socp.apply_AT(d, uy), -1.0), cfg)
     gux = socp.apply_G(d, ux)
     uz = C.winv2_apply(spec, W, {k: gux[k] - bz[k] for k in gux})
     return ux, uy, uz
