@@ -35,10 +35,14 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "256"))
     n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "60"))
     n_ipm = int(os.environ.get("BENCH_IPM_ITERS", "15"))
+    # Pallas VMEM KKT kernels: measured 1.5x end-to-end on v5e (BASELINE.md),
+    # default-on for the TPU bench; BENCH_USE_PALLAS=0 reverts to XLA smallla
+    use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=50, substeps=8),
-        ipm=scvx.IPMConfig(max_iters=n_ipm, refine_steps=1, warm_start=True),
+        ipm=scvx.IPMConfig(max_iters=n_ipm, refine_steps=1, warm_start=True,
+                           use_pallas=use_pallas),
         scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=n_scvx),
     )
     model = scvx.rocket6dof_model()

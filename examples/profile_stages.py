@@ -32,13 +32,23 @@ from successiveconvexification_tpu.parallel.batch import sample_dispersions
 from successiveconvexification_tpu.utils import metrics
 
 
+def _sync(out):
+    """Honest completion barrier: the axon tunnel can return from
+    block_until_ready before remote execution finishes — a host transfer of
+    (a reduction of) every output leaf is the only reliable fence here."""
+    return [float(jnp.sum(jnp.abs(leaf))) for leaf in jax.tree.leaves(out)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)]
+
+
 def bench_fn(fn, args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # device executes dispatches in order: fencing the last fences them all,
+    # and the one host round-trip amortizes over reps
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -49,6 +59,8 @@ def main():
     ap.add_argument("--ipm-iters", type=int, default=20)
     ap.add_argument("--profile-dir", default=None,
                     help="also capture a jax.profiler trace here")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="route KKT block algebra through the Pallas kernels")
     args = ap.parse_args()
 
     model = rk.rocket6dof_model()
@@ -56,7 +68,8 @@ def main():
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=args.K, substeps=8),
-        ipm=scvx.IPMConfig(max_iters=args.ipm_iters, refine_steps=1),
+        ipm=scvx.IPMConfig(max_iters=args.ipm_iters, refine_steps=1,
+                           use_pallas=args.use_pallas),
     )
     B = args.batch
     pb = sample_dispersions(params, jax.random.PRNGKey(0), B)

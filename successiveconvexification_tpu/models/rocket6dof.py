@@ -81,10 +81,11 @@ def default_params(dtype=jnp.float32) -> Rocket6DoFParams:
         alpha_m=f(0.07),
         T_min=f(0.3),
         T_max=f(5.0),
-        # 45 deg effective gimbal: the tight-20-deg variant couples attitude and
-        # thrust so stiffly that SCP needs specialized handling (documented hard
-        # configuration; see tests/test_scvx.py::test_tight_gimbal_partial)
-        cos_delta_max=f(jnp.cos(jnp.deg2rad(45.0))),
+        # 20 deg gimbal: the Szmuk-class value (tight attitude-thrust
+        # coupling). Solved by the default config since the acceptance /
+        # stationarity-certificate fixes; tests/test_scvx.py::
+        # test_tight_gimbal_converges gates it end-to-end.
+        cos_delta_max=f(jnp.cos(jnp.deg2rad(20.0))),
         tan_gamma_gs=f(jnp.tan(jnp.deg2rad(20.0))),
         c_tilt=f(jnp.sqrt((1.0 - jnp.cos(jnp.deg2rad(90.0))) / 2.0)),
         omega_max=f(jnp.deg2rad(60.0)),
