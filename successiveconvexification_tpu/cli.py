@@ -111,6 +111,11 @@ def cmd_solve(args, overrides):
 
         plot_trajectory(st.X, st.U, st.sigma, params=params, path=args.plot)
         print(f"plot written to {args.plot}")
+    if args.animate:
+        from successiveconvexification_tpu.utils.plotting import animate_trajectory
+
+        animate_trajectory(st.X, st.U, st.sigma, params=params, path=args.animate)
+        print(f"animation written to {args.animate}")
 
 
 def cmd_sweep(args, overrides):
@@ -185,6 +190,8 @@ def main(argv=None):
     ps.add_argument("--dtype", default=None)
     ps.add_argument("--out", default=None)
     ps.add_argument("--plot", default=None)
+    ps.add_argument("--animate", default=None, metavar="GIF",
+                    help="write an animated landing GIF")
     ps.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one solve to DIR")
 

@@ -69,6 +69,13 @@ class IPMConfig:
     # block, which leaves the engine bandwidth-bound). Off-TPU the kernels run
     # in interpret mode — correct but slow, so leave False on CPU.
     use_pallas: bool = False
+    # Structured Ruiz equilibration of the subproblem data before the solve
+    # (ops/equilibrate.py) — the in-graph analog of the reference solver's
+    # presolve scaling (SURVEY §3.3). Compresses the spread between O(1)
+    # dynamics rows, 1e2-1e3 penalty objective coefficients, and 1e-4..1e2
+    # trust radii; cuts IPM iteration counts and stabilizes f32 warm starts.
+    equilibrate: bool = True
+    ruiz_iters: int = 3         # fixed (unrolled) Ruiz passes
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,6 +133,53 @@ def discretize(model: Model, params, X, U, sigma, substeps: int, foh: bool = Tru
     return Discretization(A=A, Bm=Bm, Bp=Bp, S=S, z=z, x_prop=x_prop, defect=defect)
 
 
+def _affine_compose(e1, e2):
+    """Compose batched affine maps: e1 = (A1, c1) applied FIRST, then e2.
+
+    (A2, c2) ∘ (A1, c1) = (A2 A1, A2 c1 + c2). Associative, so it feeds
+    ``jax.lax.associative_scan`` (leading axis = the interval axis).
+    """
+    A1, c1 = e1
+    A2, c2 = e2
+    return (
+        jnp.einsum("...ij,...jk->...ik", A2, A1),
+        jnp.einsum("...ij,...j->...i", A2, c1) + c2,
+    )
+
+
+def condense(disc: Discretization) -> jnp.ndarray:
+    """Cumulative state-transition matrices via ``associative_scan`` (P4a).
+
+    Returns Phi of shape (K-1, nx, nx) with Phi[k] = A_k @ A_{k-1} @ ... @ A_0,
+    i.e. the map from a node-0 state perturbation to the node-(k+1)
+    perturbation under the discretized linear dynamics. SURVEY §2.3 P4(a):
+    STM composition is associative, so the whole-horizon condensing runs in
+    O(log K) depth on the MXU instead of a K-step sequential recursion.
+    """
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("...ij,...jk->...ik", b, a), disc.A
+    )
+
+
+def linear_rollout(disc: Discretization, x0: jnp.ndarray, U: jnp.ndarray,
+                   sigma: jnp.ndarray) -> jnp.ndarray:
+    """Single-shooting rollout of the discrete affine dynamics, log depth.
+
+    Composes x_{k+1} = A_k x_k + Bm_k u_k + Bp_k u_{k+1} + S_k sigma + z_k
+    over the whole horizon with one ``associative_scan`` over affine maps
+    (the "condensing" view of the dynamics: every x_k expressed in terms of
+    x_0 and the controls). Returns (K-1, nx): the states at nodes 1..K-1.
+    """
+    c = (
+        jnp.einsum("kij,kj->ki", disc.Bm, U[:-1])
+        + jnp.einsum("kij,kj->ki", disc.Bp, U[1:])
+        + disc.S * sigma
+        + disc.z
+    )
+    Phi, ccum = jax.lax.associative_scan(_affine_compose, (disc.A, c))
+    return jnp.einsum("kij,j->ki", Phi, x0) + ccum
+
+
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("substeps", "foh"))
 @full_precision
 def propagate(model: Model, params, X, U, sigma, substeps: int, foh: bool = True):

@@ -33,6 +33,7 @@ import numpy as np
 
 from successiveconvexification_tpu.config import IPMConfig
 from successiveconvexification_tpu.ops import cones as C
+from successiveconvexification_tpu.ops import equilibrate as equilibrate_mod
 from successiveconvexification_tpu.ops import smallla
 from successiveconvexification_tpu.ops.precision import full_precision
 from successiveconvexification_tpu.ops import socp
@@ -432,6 +433,15 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     iterates poison the solve (the naive unit interior point is NOT a safe
     substitute: on hard subproblems it stalls where the cold init converges).
     """
+    nx_pq = d.c_p.shape[-1]
+    if cfg.equilibrate:
+        # Ruiz presolve (ops/equilibrate.py): the whole solve runs in scaled
+        # coordinates; the returned state is unscaled at the bottom. Warm
+        # starts arrive in raw coordinates and are scaled in here.
+        d, eq_scales = equilibrate_mod.equilibrate(d, iters=cfg.ruiz_iters)
+        if init is not None:
+            init = equilibrate_mod.scale_state(eq_scales, init, nx_pq, True)
+
     spec = _spec_of(d)
     h = socp.cone_h(d)
     c = socp.objective(d)
@@ -486,14 +496,26 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     else:
         x0, y0, s0, z0 = xc, yc, sc, zc
 
-    cnorm = jnp.maximum(1.0, jnp.sqrt(socp.primal_inner(c, c)))
+    # Objective scale: with equilibration the objective was multiplied by tau,
+    # so gap and dual residual must be measured relative to tau (not 1) to
+    # keep the RAW-space relative tolerances — the scaled-space quantities are
+    # exactly tau * (raw quantities) for these two (column scales are O(1)-
+    # balanced by construction and drop out of the norm up to that factor).
+    tau_obj = eq_scales.tau if cfg.equilibrate else jnp.ones((), dtype)
+    cnorm = jnp.maximum(tau_obj, jnp.sqrt(socp.primal_inner(c, c)))
     bnorm = jnp.maximum(1.0, jnp.linalg.norm(b))
     hnorm = jnp.maximum(1.0, jnp.sqrt(C.inner(h, h)))
 
-    # dtype-aware tolerance floor (see IPMConfig.tol_eps_mult)
+    # dtype-aware tolerance floor (see IPMConfig.tol_eps_mult). gap and dres
+    # are RAW-space relative measures but the arithmetic runs in scaled
+    # coordinates, so their achievable floor is eps/tau (the scaled-space
+    # round-off divided by the objective scale): floor them accordingly, or
+    # with tau ~ 1e-3 no f32 lane could ever certify and every solve would
+    # burn the full iteration budget. pres has no tau factor.
     eps = float(jnp.finfo(dtype).eps)
-    tol_gap = max(cfg.tol_gap, cfg.tol_eps_mult * eps)
+    tol_gap = jnp.maximum(cfg.tol_gap, cfg.tol_eps_mult * eps / tau_obj)
     tol_feas = max(cfg.tol_feas, cfg.tol_eps_mult * eps)
+    tol_dres = jnp.maximum(cfg.tol_feas, cfg.tol_eps_mult * eps / tau_obj)
 
     state = IPMState(
         x=x0, y=y0, s=s0, z=z0,
@@ -524,11 +546,11 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         sz = C.inner(s, z)
         mu = sz / deg
         cx = socp.primal_inner(c, x)
-        gap = sz / jnp.maximum(1.0, jnp.abs(cx))
+        gap = sz / jnp.maximum(tau_obj, jnp.abs(cx))
         pres = jnp.sqrt(jnp.linalg.norm(ry) ** 2 + C.inner(rz, rz)) / jnp.maximum(
             bnorm, hnorm)
         dres = jnp.sqrt(socp.primal_inner(rx, rx)) / cnorm
-        converged = (gap < tol_gap) & (pres < tol_feas) & (dres < tol_feas)
+        converged = (gap < tol_gap) & (pres < tol_feas) & (dres < tol_dres)
         active = ~(st.converged | converged)
         act = active.astype(dtype)
 
@@ -618,4 +640,6 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         return i + 1, body(i, st)
 
     _, state = jax.lax.while_loop(cond, wbody, (jnp.asarray(0, jnp.int32), state))
+    if cfg.equilibrate:
+        state = equilibrate_mod.scale_state(eq_scales, state, nx_pq, False)
     return state
