@@ -43,13 +43,16 @@ def _load_cfg(args, overrides):
 
 
 def _get_model(name: str, dtype):
-    if name == "rocket6dof":
+    if name in ("rocket6dof", "rocket6dof_stc"):
         from successiveconvexification_tpu.models import rocket6dof as m
+
+        model = m.rocket6dof_model(aoa_stc=name.endswith("_stc"))
     elif name == "pointmass3dof":
         from successiveconvexification_tpu.models import pointmass3dof as m
+
+        model = m.pointmass3dof_model()
     else:
         raise SystemExit(f"unknown model {name}")
-    model = getattr(m, f"{name}_model")()
     params = m.default_params(dtype=dtype)
     return model, params
 

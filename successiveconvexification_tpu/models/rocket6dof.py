@@ -6,7 +6,7 @@ Control (nu=3): u = T_B, thrust vector in the body frame (nominal direction +e1)
 Continuous dynamics (SURVEY.md §2.1 C2; mathematically forced by the problem class):
     mdot     = -alpha_m * ||T||
     rdot     = v
-    vdot     = C_IB(q) T / m + g_I
+    vdot     = (C_IB(q) T - cd_a ||v|| v) / m + g_I     (cd_a = 0: vacuum)
     qdot     = 0.5 * q ⊗ (0, omega)
     omegadot = J^-1 (r_T x T - omega x J omega)
 
@@ -27,6 +27,7 @@ converge in O(10) SCvx iterations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -63,6 +64,12 @@ class Rocket6DoFParams:
     J_b: jnp.ndarray              # principal inertia diagonal, shape (3,)
     r_t: jnp.ndarray              # thrust application point in body frame, shape (3,)
     g_i: jnp.ndarray              # inertial gravity, shape (3,)
+    cd_a: jnp.ndarray             # drag: 0.5 * rho * C_D * A (0 = vacuum)
+    # Angle-of-attack state-triggered constraint (used only by the
+    # rocket6dof_model(aoa_stc=True) variant): when ||v|| > v_trigger,
+    # enforce angle(body +x, -v) <= alpha_max.
+    v_trigger: jnp.ndarray        # () trigger speed
+    cos_aoa_max: jnp.ndarray      # () cos(alpha_max)
     r_init: jnp.ndarray           # (3,)
     v_init: jnp.ndarray           # (3,)
     q_init: jnp.ndarray           # (4,)
@@ -92,6 +99,12 @@ def default_params(dtype=jnp.float32) -> Rocket6DoFParams:
         J_b=f(1e-2, 1e-2, 1e-2),
         r_t=f(-1e-2, 0.0, 0.0),
         g_i=f(-1.0, 0.0, 0.0),
+        # vacuum by default (the arXiv:1802.03827 base case); set > 0 for the
+        # Szmuk-2018 atmospheric variant — isotropic quadratic drag
+        cd_a=f(0.0),
+        # AoA STC defaults (consumed only by the aoa_stc=True model variant)
+        v_trigger=f(1.5),
+        cos_aoa_max=f(jnp.cos(jnp.deg2rad(30.0))),
         r_init=f(4.0, 4.0, 0.0),
         v_init=f(-0.5, -2.0, 0.0),
         q_init=f(1.0, 0.0, 0.0, 0.0),
@@ -113,7 +126,11 @@ def dynamics(params: Rocket6DoFParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.nd
 
     mdot = -params.alpha_m * safe_norm(u)
     rdot = v
-    vdot = thrust_i / m + params.g_i
+    # isotropic quadratic drag (Szmuk-2018 atmospheric class; cd_a = 0 in the
+    # vacuum base case): F_D = -cd_a * ||v|| * v. safe_norm keeps the
+    # Jacobian finite at v = 0 (AD differentiates straight through this).
+    drag_i = -params.cd_a * safe_norm(v) * v
+    vdot = (thrust_i + drag_i) / m + params.g_i
     qdot = quat_kinematics(q, w)
     Jw = params.J_b * w
     wdot = (jnp.cross(params.r_t, u) - jnp.cross(w, Jw)) / params.J_b
@@ -124,6 +141,49 @@ def dynamics(params: Rocket6DoFParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.nd
 # --------------------------------------------------------------------------- cones
 N_LIN = 2                      # mass lower bound, linearized thrust lower bound
 SOC_DIMS = (3, 3, 4, 4, 4)     # glideslope, tilt, rate, thrust-ub, gimbal
+
+# margin added to every linearized STC row's RHS. The continuous-STC scalar
+# h = -min(g, 0) * c is identically 0 wherever the trigger is off, which would
+# emit the degenerate row 0'd <= 0 (feasible but with NO strict interior — the
+# IPM cannot hold s_i > 0). The Szmuk-lineage papers flag exactly this
+# degeneracy; an epsilon RHS restores a strict interior at tolerance-level
+# cost (the nonlinear merit uses the same epsilon, keeping rho consistent).
+STC_EPS = 1e-6
+
+
+def _aoa_stc_scalar(params: Rocket6DoFParams, x: jnp.ndarray, u: jnp.ndarray):
+    """Szmuk continuous state-triggered constraint scalar h(x) <= 0 for the
+    angle-of-attack constraint (PAPERS.md arXiv:2510.09610 lineage; the
+    classic formulation of arXiv:1811.10803):
+
+        trigger     g(x) = v_trigger - ||v||        (enforce when g < 0)
+        constraint  c(x) = cos(alpha_max)*||v|| + e1 . C_BI(q) v
+        STC         h(x) = -min(g(x), 0) * c(x) <= 0
+
+    c <= 0 says the angle between the body +x axis and the AIRFLOW (-v)
+    is at most alpha_max. h is smooth a.e.; its AD gradient provides the
+    linearized subproblem row exactly like the thrust-lower-bound row.
+    """
+    v = x[I_V]
+    q = x[I_Q]
+    speed = safe_norm(v)
+    g = params.v_trigger - speed
+    v_b = quat_to_dcm(q).T @ v          # C_BI = C_IB', body-frame velocity
+    c = params.cos_aoa_max * speed + v_b[0]
+    return -jnp.minimum(g, 0.0) * c
+
+
+def _aoa_stc_row(params: Rocket6DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
+    """Linearize the STC scalar about (xk, uk): G @ (dx,du) <= -h(xbar)+eps."""
+    nxu = NX + NU
+
+    def h_of(xu):
+        return _aoa_stc_scalar(params, xu[:NX], xu[NX:])
+
+    xu = jnp.concatenate([xk, uk])
+    G = jax.grad(h_of)(xu)
+    h = -h_of(xu) + jnp.asarray(STC_EPS, xk.dtype)
+    return G.reshape(1, nxu), h.reshape(1)
 
 
 def stage_cones(params: Rocket6DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
@@ -180,6 +240,15 @@ def stage_cones(params: Rocket6DoFParams, xk: jnp.ndarray, uk: jnp.ndarray):
 
     return G_lin, h_lin, ((G_gs, h_gs), (G_tilt, h_tilt), (G_rate, h_rate),
                           (G_tub, h_tub), (G_gim, h_gim))
+
+
+def stage_cones_aoa_stc(params: Rocket6DoFParams, xk: jnp.ndarray,
+                        uk: jnp.ndarray):
+    """stage_cones + the linearized angle-of-attack STC row (n_lin = 3)."""
+    G_lin, h_lin, socs = stage_cones(params, xk, uk)
+    G_stc, h_stc = _aoa_stc_row(params, xk, uk)
+    return (jnp.concatenate([G_lin, G_stc], axis=0),
+            jnp.concatenate([h_lin, h_stc], axis=0), socs)
 
 
 def initial_guess(params: Rocket6DoFParams, K: int):
@@ -241,14 +310,20 @@ def state_basis(params: Rocket6DoFParams, xk: jnp.ndarray) -> jnp.ndarray:
     return B
 
 
-def rocket6dof_model() -> Model:
-    return Model(
-        name="rocket6dof",
+def rocket6dof_model(aoa_stc: bool = False) -> Model:
+    """6-DoF model; ``aoa_stc=True`` adds the angle-of-attack
+    state-triggered constraint row (Szmuk STC lineage, see _aoa_stc_scalar).
+    Variants are cached so jit sees one Model identity per flag value."""
+    key = bool(aoa_stc)
+    if key in _MODELS:
+        return _MODELS[key]
+    m = Model(
+        name="rocket6dof_stc" if aoa_stc else "rocket6dof",
         nx=NX,
         nu=NU,
         f=dynamics,
-        stage_cones=stage_cones,
-        n_lin=N_LIN,
+        stage_cones=stage_cones_aoa_stc if aoa_stc else stage_cones,
+        n_lin=N_LIN + (1 if aoa_stc else 0),
         soc_dims=SOC_DIMS,
         mass_index=I_M,
         # initial: m, r, v, omega pinned; ATTITUDE FREE (the guidance problem
@@ -268,13 +343,12 @@ def rocket6dof_model() -> Model:
         init_pinned_r=tuple([True] * 7 + [False] * 3 + [True] * 3),
         term_pinned_r=tuple([False] + [True] * 12),
     )
+    _MODELS[key] = m
+    return m
 
 
-_MODEL = None
+_MODELS: dict = {}
 
 
 def get_model() -> Model:
-    global _MODEL
-    if _MODEL is None:
-        _MODEL = rocket6dof_model()
-    return _MODEL
+    return rocket6dof_model()

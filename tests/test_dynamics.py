@@ -117,3 +117,26 @@ def test_dynamics_jittable_and_vmappable(params6):
     out = jax.jit(jax.vmap(lambda x, u: model.f(params6, x, u)))(X, U)
     assert out.shape == (8, 14)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_drag_term_6dof(params6):
+    """Atmospheric variant: vdot picks up exactly -cd_a*||v||*v/m; all other
+    components (and the vacuum default cd_a=0) are untouched."""
+    p_drag = params6.replace(cd_a=jnp.asarray(0.3, F64))
+    m = 1.7
+    v = jnp.asarray([0.4, -1.2, 0.9], F64)
+    x = jnp.zeros(14, dtype=F64).at[0].set(m).at[7].set(1.0)
+    x = x.at[4:7].set(v)
+    u = jnp.asarray([0.5, 0.1, -0.2], F64)
+    d0 = rk.dynamics(params6, x, u)
+    d1 = rk.dynamics(p_drag, x, u)
+    expect = -0.3 * jnp.linalg.norm(v) * v / m
+    np.testing.assert_allclose(np.asarray(d1[4:7] - d0[4:7]),
+                               np.asarray(expect), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(d1[jnp.asarray([0, 1, 2, 3])]),
+                               np.asarray(d0[jnp.asarray([0, 1, 2, 3])]))
+    np.testing.assert_allclose(np.asarray(d1[7:]), np.asarray(d0[7:]))
+    # AD Jacobians stay finite at v = 0 (safe_norm)
+    x0 = x.at[4:7].set(0.0)
+    A, B = rk.rocket6dof_model().jacobians(p_drag, x0, u)
+    assert bool(jnp.all(jnp.isfinite(A))) and bool(jnp.all(jnp.isfinite(B)))

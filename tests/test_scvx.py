@@ -279,3 +279,24 @@ def test_hard_trust_region_mode():
     max_defect, viol = _quality(model, params, cfg, st)
     assert max_defect < 1e-3, max_defect
     assert viol < 1e-4, viol
+
+
+def test_6dof_with_drag_converges():
+    """Atmospheric (Szmuk-2018 class) variant: isotropic quadratic drag
+    cd_a > 0 changes the physics (longer burn, different sigma) and the
+    engine must still converge to the usual gates."""
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64).replace(cd_a=jnp.asarray(0.05, F64))
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=14, substeps=5),
+        ipm=scvx.IPMConfig(max_iters=30, refine_steps=2),
+    )
+    st = _run(model, params, cfg, 40)
+    assert bool(st.converged)
+    max_defect, viol = _quality(model, params, cfg, st)
+    assert max_defect < 1e-3, max_defect
+    assert viol < 1e-4, viol
+    # drag genuinely in play: the converged vacuum solution differs
+    st_vac = _run(model, rk.default_params(dtype=F64), cfg, 40)
+    assert abs(float(st.sigma) - float(st_vac.sigma)) > 1e-3
