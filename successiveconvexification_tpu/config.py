@@ -52,6 +52,15 @@ class IPMConfig:
     min_step: float = 1e-10      # step floor before a lane is declared stalled
     refine_steps: int = 1        # iterative-refinement sweeps on each KKT solve
     corrector: bool = True       # Mehrotra predictor-corrector (False = plain AHO)
+    # Gondzio multiple centrality correctors: extra KKT SOLVES per iteration
+    # (reusing the iteration's factorization) that pull outlying scaled
+    # complementarity products back into [beta_min, beta_max] * mu, enlarging
+    # the step. On TPU the factorization dominates the solve, so trading
+    # solves for whole iterations (factorizations) is the right direction.
+    # Each corrector is accepted per lane only if it improves the step length.
+    gondzio_correctors: int = 0
+    gondzio_beta_min: float = 0.1
+    gondzio_beta_max: float = 10.0
     # Block-tridiagonal KKT backend: "scan" (sequential block Cholesky, O(K)
     # depth), "pcr" (parallel cyclic reduction, O(log K) depth — the
     # TPU-latency-friendly choice for batched solves), or "ksharded"

@@ -365,11 +365,20 @@ class IPMState(NamedTuple):
     y: jnp.ndarray
     s: ConeVec
     z: ConeVec
-    converged: jnp.ndarray   # () bool
+    converged: jnp.ndarray   # () bool — CERTIFIED: gap/pres/dres below tols
     iters: jnp.ndarray       # () int32
     gap: jnp.ndarray         # () relative duality gap
     pres: jnp.ndarray        # () primal residual (relative)
     dres: jnp.ndarray        # () dual residual (relative)
+    # stalled: the lane's update gate failed (step below min_step or a
+    # non-finite direction). The iteration body is a pure function of
+    # (x, y, s, z), so a lane that could not move once can NEVER move again —
+    # marking it terminal is exactly semantics-preserving and lets the
+    # while_loop stop burning budget on it (at f32 tolerances, lanes that
+    # cannot certify otherwise run to max_iters doing nothing; measured 25/25
+    # budget burned on every warm subproblem). Kept SEPARATE from `converged`
+    # so the certificate keeps its meaning.
+    stalled: jnp.ndarray     # () bool
 
 
 def _shift_into_cone(spec, v: ConeVec, e: ConeVec) -> ConeVec:
@@ -523,6 +532,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         iters=jnp.asarray(0, jnp.int32),
         gap=jnp.asarray(jnp.inf, dtype), pres=jnp.asarray(jnp.inf, dtype),
         dres=jnp.asarray(jnp.inf, dtype),
+        stalled=jnp.asarray(False),
     )
 
     def body(_, st: IPMState) -> IPMState:
@@ -551,7 +561,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
             bnorm, hnorm)
         dres = jnp.sqrt(socp.primal_inner(rx, rx)) / cnorm
         converged = (gap < tol_gap) & (pres < tol_feas) & (dres < tol_dres)
-        active = ~(st.converged | converged)
+        active = ~(st.converged | converged | st.stalled)
         act = active.astype(dtype)
 
         W = C.nt_scaling(spec, s, z)
@@ -600,6 +610,55 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         alpha = jnp.minimum(
             1.0, cfg.frac_to_boundary * jnp.minimum(step_s, step_z)
         )
+
+        # ---- Gondzio multiple centrality correctors ----------------------
+        # Extra KKT SOLVES on this iteration's factorization that pull
+        # outlying scaled complementarity products back into
+        # [beta_min, beta_max] * mu_target, enlarging the step. Restricted to
+        # the ORTHANT blocks (lin / pq / sig) — elementwise clipping is exact
+        # Jordan-frame clipping there, and those blocks hold the bulk of the
+        # complementarity pairs; SOC blocks are left to the Mehrotra
+        # corrector. Each correction is accepted per lane only if it improves
+        # the step length, so a useless correction costs a solve but never
+        # degrades the iterate (the target adjustment enters the Newton rhs
+        # through theta' = eta*mu*e + dt, i.e. bz gets -W(lam \ dt)).
+        orthant_keys = ("lin", "pq", "sig")
+        for _ in range(cfg.gondzio_correctors):
+            a_t = jnp.minimum(1.0, 1.5 * alpha + 0.3)
+            s_t = C.tree_add(s, ds, a_t)
+            z_t = C.tree_add(z, dz, a_t)
+            mu_t = jnp.maximum(C.inner(s_t, z_t) / deg, 1e-30)
+            v = C.jordan_mul(
+                spec,
+                C.w_apply(spec, W, s_t, inverse=True),
+                C.w_apply(spec, W, z_t, inverse=False),
+            )
+            lo = cfg.gondzio_beta_min * mu_t
+            hi = cfg.gondzio_beta_max * mu_t
+            dt = {
+                k: (jnp.clip(v[k], lo, hi) - v[k]) if k in orthant_keys
+                else jnp.zeros_like(v[k])
+                for k in v
+            }
+            wldt = C.w_apply(spec, W, C.jordan_solve(spec, lam, dt))
+            bz_g = {k: -wldt[k] for k in wldt}
+            dx_g, dy_g, dz_g = solve_kkt_refined(
+                d, f, W, socp.primal_zeros(d), jnp.zeros_like(ry), bz_g, cfg,
+                steps=0)
+            gdx_g = socp.apply_G(d, dx_g)
+            ds2 = C.tree_add(ds, {k: -gdx_g[k] for k in gdx_g}, 1.0)
+            dz2 = C.tree_add(dz, dz_g, 1.0)
+            a2 = jnp.minimum(1.0, cfg.frac_to_boundary * jnp.minimum(
+                C.max_step(spec, s, ds2), C.max_step(spec, z, dz2)))
+            better = a2 > alpha
+            pickg = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(better, n, o), new, old)
+            dx = pickg(socp.primal_axpy(dx, dx_g, 1.0), dx)
+            dy = pickg(dy + dy_g, dy)
+            dz = pickg(dz2, dz)
+            ds = pickg(ds2, ds)
+            alpha = jnp.where(better, a2, alpha)
+
         # Robustness for the fixed-iteration batched regime: a converged (or
         # numerically exhausted) lane must never contaminate its iterate. The
         # update is gated with where() on the whole trees (NOT alpha * dx, which
@@ -623,6 +682,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
             gap=jnp.where(jnp.isfinite(gap), gap, st.gap),
             pres=jnp.where(jnp.isfinite(pres), pres, st.pres),
             dres=jnp.where(jnp.isfinite(dres), dres, st.dres),
+            stalled=st.stalled | (active & ~ok),
         )
 
     # while_loop with an "unconverged" condition instead of a fixed fori_loop:
@@ -633,7 +693,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     # way, so this is semantics-preserving.
     def cond(carry):
         i, st = carry
-        return (i < cfg.max_iters) & ~st.converged
+        return (i < cfg.max_iters) & ~(st.converged | st.stalled)
 
     def wbody(carry):
         i, st = carry

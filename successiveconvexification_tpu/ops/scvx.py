@@ -141,7 +141,7 @@ def _unit_ipm_carry(model: Model, cfg: SolverConfig, params, X, U, sigma):
     return ipm.IPMState(
         x=socp.primal_zeros(d0), y=jnp.zeros_like(d0.b), s=e, z=e,
         converged=jnp.asarray(False), iters=jnp.asarray(0, jnp.int32),
-        gap=z + jnp.inf, pres=z, dres=z,
+        gap=z + jnp.inf, pres=z, dres=z, stalled=jnp.asarray(False),
     )
 
 

@@ -163,3 +163,35 @@ def test_pcr_matches_scan(prob3):
         np.asarray(st_a.x.w), np.asarray(st_b.x.w), atol=1e-7
     )
     assert abs(float(st_a.x.sig) - float(st_b.x.sig)) < 1e-8
+
+
+def test_stall_exit_terminates_early(prob3):
+    """A lane that cannot certify (impossible tolerances) must be detected as
+    STALLED — the iteration body is deterministic in the iterate, so a lane
+    whose update gate failed once can never move again — and the while_loop
+    must stop instead of burning the whole budget. The certificate stays
+    honestly False and the pre-stall iterate is still a good solution."""
+    d = jax.tree.map(lambda a: a.astype(jnp.float32)
+                     if a.dtype == jnp.float64 else a, prob3)
+    cfg = IPMConfig(max_iters=300, tol_gap=1e-30, tol_feas=1e-30,
+                    tol_eps_mult=0.0, refine_steps=1)
+    st = ipm.ipm_solve(d, cfg)
+    assert not bool(st.converged)
+    assert bool(st.stalled)
+    assert int(st.iters) < 300
+    assert float(st.gap) < 1e-3  # froze AFTER reaching a good iterate
+
+
+def test_gondzio_correctors_match_plain_solution(prob3):
+    """Gondzio centrality correctors must not change WHAT is solved: same
+    certificate, same primal solution within tolerance, never more
+    iterations than they claim to save on this problem."""
+    cfg0 = IPMConfig(max_iters=60, tol_gap=1e-8, tol_feas=1e-8, refine_steps=2)
+    cfg2 = IPMConfig(max_iters=60, tol_gap=1e-8, tol_feas=1e-8, refine_steps=2,
+                     gondzio_correctors=2)
+    st0 = ipm.ipm_solve(prob3, cfg0)
+    st2 = ipm.ipm_solve(prob3, cfg2)
+    assert bool(st0.converged) and bool(st2.converged)
+    assert int(st2.iters) <= int(st0.iters) + 2
+    np.testing.assert_allclose(np.asarray(st2.x.w), np.asarray(st0.x.w),
+                               atol=5e-6)
