@@ -77,21 +77,25 @@ def _bench_sol(model, pb, cfg, B):
         ("ipm", v_ipm, (d,)),
         ("merit", v_merit, (pb, st)),
     ]
+    from successiveconvexification_tpu.utils.metrics import sol_fraction
+
     rows = []
     for name, fn, args in stages:
-        lowered = fn.lower(*args)
-        compiled = lowered.compile()
+        # one AOT compile per stage; the SAME executable is timed (calling
+        # fn(*args) afterwards would trace + compile the graph a second time
+        # through the jit call cache)
+        compiled = fn.lower(*args).compile()
         ca = compiled.cost_analysis()
-        if isinstance(ca, list):
+        if isinstance(ca, list):  # older jax returns a list per-device
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
         nbytes = float(ca.get("bytes accessed", 0.0))
-        out = fn(*args)
+        out = compiled(*args)
         _ = float(jnp.sum(jax.tree.leaves(out)[0]))
         reps = 4
         t0 = time.perf_counter()
         for _i in range(reps):
-            out = fn(*args)
+            out = compiled(*args)
             _ = float(jnp.sum(jax.tree.leaves(out)[0]))
         dt = (time.perf_counter() - t0) / reps
         row = {
@@ -101,8 +105,8 @@ def _bench_sol(model, pb, cfg, B):
             "gbytes": round(nbytes / 1e9, 3),
             "achieved_tflops_s": round(flops / dt / 1e12, 3),
             "achieved_gb_s": round(nbytes / dt / 1e9, 1),
-            "sol_flops_frac": round(flops / dt / peaks["f32_flops"], 5),
-            "sol_hbm_frac": round(nbytes / dt / peaks["hbm_gbps"], 4),
+            "sol_flops_frac": round(sol_fraction(flops, dt, peaks["f32_flops"]), 5),
+            "sol_hbm_frac": round(sol_fraction(nbytes, dt, peaks["hbm_gbps"]), 4),
         }
         rows.append(row)
         print(json.dumps(row))

@@ -52,7 +52,12 @@ def solve_batch(model: Model, params_batch, cfg: SolverConfig) -> ScvxState:
             )(params_batch, st)
         # one cheap all-reduce decides whether ANY lane needs the conelp
         # cold-init this iteration; the common all-warm case skips its extra
-        # factorize + two KKT solves entirely (VERDICT r1 weak #1)
+        # factorize + two KKT solves entirely. NOTE the cond sits at the
+        # BATCH level on purpose: under vmap a per-lane cond inside ipm_solve
+        # would lower to select and compute BOTH branches every iteration.
+        # The price is compile-time only (two near-identical branch graphs),
+        # amortized by the persistent compilation cache; the ~9% runtime of
+        # the always-on cold init was real (BASELINE.md M4b).
         return jax.lax.cond(
             jnp.all(jnp.isfinite(st.ipm_carry.gap)),
             lambda s: jax.vmap(

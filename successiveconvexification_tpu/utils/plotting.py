@@ -126,11 +126,13 @@ def animate_trajectory(X, U, sigma, params=None, path: str = "trajectory.gif",
         trail.set_data(r[: k + 1, 1], r[: k + 1, 2])
         trail.set_3d_properties(r[: k + 1, 0])
         if dcms is not None:
-            up_b = dcms[k].T @ np.array([1.0, 0.0, 0.0])   # body x-axis in I
+            # quat_to_dcm returns C_IB (body -> inertial), same convention as
+            # the dynamics (thrust_i = C_ib @ u) and plot_trajectory
+            up_b = dcms[k] @ np.array([1.0, 0.0, 0.0])   # body x-axis in I
             tip = r[k] + body_len * up_b
             body.set_data([r[k, 1], tip[1]], [r[k, 2], tip[2]])
             body.set_3d_properties([r[k, 0], tip[0]])
-            Ti = dcms[k].T @ U[k]
+            Ti = dcms[k] @ U[k]
         else:
             Ti = U[k]
         tail_pt = r[k] - 0.15 * Ti
