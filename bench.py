@@ -19,6 +19,11 @@ stage (discretize / assemble / IPM / merit) is jitted separately over the
 same batch, timed with an honest host-transfer barrier, and reported with
 XLA cost-analysis flops+bytes and the fraction of chip peak FLOP/s and HBM
 bandwidth it achieves. One JSON object per line, then a summary line.
+
+BENCH_MODE=replan measures the real-time replanning latency (BASELINE
+target: p50 per-SCvx-iteration latency vs the replanning budget): one lane
+is solved cold, its initial condition is perturbed, and the STM-corrected
+warm start is iterated to convergence, timing each single-lane iteration.
 """
 
 import json
@@ -121,6 +126,46 @@ def _bench_sol(model, pb, cfg, B):
     }))
 
 
+def _bench_replan(model, params, cfg):
+    """Single-lane replanning latency: cold solve -> perturb the initial
+    condition -> STM-corrected warm start -> iterate to convergence, timing
+    every single-lane SCvx iteration (the guidance-loop latency)."""
+    import successiveconvexification_tpu as scvx
+    from successiveconvexification_tpu.ops.scvx import scvx_iteration
+
+    it = jax.jit(lambda p, s: scvx_iteration(model, p, cfg, s))
+    st = scvx.scvx_solve(model, params, cfg)
+    _ = float(jnp.sum(st.X))
+    p2 = params.replace(
+        r_init=params.r_init + jnp.asarray([0.2, -0.2, 0.1], st.X.dtype)
+    )
+    warm = scvx.scvx_warm_start(model, p2, cfg, st.X, st.U, st.sigma)
+    _ = it(p2, warm)  # compile
+    warm = scvx.scvx_warm_start(model, p2, cfg, st.X, st.U, st.sigma)
+    lat_ms = []
+    t_total = time.perf_counter()
+    for _i in range(40):
+        t0 = time.perf_counter()
+        warm = it(p2, warm)
+        _ = float(jnp.sum(warm.X))  # honest device barrier
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+        if bool(warm.converged):
+            break
+    total_ms = (time.perf_counter() - t_total) * 1e3
+    lat = sorted(lat_ms)
+    print(json.dumps({
+        "metric": "6dof_replan_latency",
+        "value": round(total_ms, 1),
+        "unit": "ms to re-converge (1 lane)",
+        "converged": bool(warm.converged),
+        "iters": len(lat_ms),
+        "scvx_iter_ms_p50": round(lat[len(lat) // 2], 2),
+        "scvx_iter_ms_max": round(lat[-1], 2),
+        "final_defect_l1": float(warm.defect_nl),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     import successiveconvexification_tpu as scvx
     from successiveconvexification_tpu.models import rocket6dof as rk
@@ -153,8 +198,12 @@ def main():
     key = jax.random.PRNGKey(0)
     pb = sample_dispersions(params, key, B, r_std=0.2, v_std=0.1, m_frac_std=0.03)
 
-    if os.environ.get("BENCH_MODE", "") == "sol":
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "sol":
         _bench_sol(model, pb, cfg, B)
+        return
+    if mode == "replan":
+        _bench_replan(model, params, cfg)
         return
 
     # warmup/compile. NOTE: the axon tunnel can return from block_until_ready
@@ -186,6 +235,9 @@ def main():
         "iters_p50": int(jnp.percentile(iters, 50)),
         "iters_p90": int(jnp.percentile(iters, 90)),
         "iters_max": int(jnp.max(iters)),
+        # the batch runs int(max iters) lockstep while_loop trips, so this is
+        # the honest per-SCvx-iteration latency of the whole batch
+        "ms_per_scvx_iter": round(dt / max(int(jnp.max(iters)), 1) * 1e3, 1),
         "mean_defect_l1": float(jnp.mean(out.defect_nl)),
         "max_defect_l1": float(jnp.max(out.defect_nl)),
         "mean_viol": float(jnp.mean(out.viol_nl)),
