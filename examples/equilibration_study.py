@@ -10,6 +10,10 @@ regime; run with:
 
 import dataclasses
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
