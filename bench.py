@@ -206,16 +206,32 @@ def main():
         _bench_replan(model, params, cfg)
         return
 
+    # BENCH_COMPACT=1: host-side repacking of unconverged lanes
+    # (parallel/batch.py::solve_batch_compact) — converged lanes stop costing
+    # compute instead of idling masked until the slowest lane finishes
+    if os.environ.get("BENCH_COMPACT", "") == "1":
+        from successiveconvexification_tpu.parallel.batch import (
+            solve_batch_compact,
+        )
+
+        min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "8"))
+
+        def run(pb):
+            return solve_batch_compact(model, pb, cfg, min_bucket=min_bucket)
+    else:
+        def run(pb):
+            return solve_batch(model, pb, cfg)
+
     # warmup/compile. NOTE: the axon tunnel can return from block_until_ready
     # before remote execution finishes — a host transfer (jnp.sum -> float) is
     # the only honest completion barrier here.
-    out = solve_batch(model, pb, cfg)
+    out = run(pb)
     _ = float(jnp.sum(out.X))
 
     t0 = time.perf_counter()
     reps = int(os.environ.get("BENCH_REPS", "2"))
     for i in range(reps):
-        out = solve_batch(model, pb, cfg)
+        out = run(pb)
         _ = float(jnp.sum(out.X))
     dt = (time.perf_counter() - t0) / reps
 

@@ -38,6 +38,7 @@ _LAZY = {
     "scvx_solve": "successiveconvexification_tpu.ops.scvx",
     "scvx_warm_start": "successiveconvexification_tpu.ops.scvx",
     "solve_batch": "successiveconvexification_tpu.parallel.batch",
+    "solve_batch_compact": "successiveconvexification_tpu.parallel.batch",
     "solve_batch_sharded": "successiveconvexification_tpu.parallel.batch",
     "sample_dispersions": "successiveconvexification_tpu.parallel.batch",
 }
@@ -65,4 +66,5 @@ __all__ = [
     "scvx_iteration",
     "scvx_solve",
     "solve_batch",
+    "solve_batch_compact",
 ]

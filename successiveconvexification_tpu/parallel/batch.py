@@ -33,6 +33,34 @@ class BatchStats(NamedTuple):
     max_nu_norm: jnp.ndarray
 
 
+def _batch_body(model: Model, params_batch, cfg: SolverConfig,
+                st: ScvxState) -> ScvxState:
+    """One lockstep batched SCvx iteration (shared by all batch drivers)."""
+    if not cfg.ipm.warm_start:
+        return jax.vmap(
+            lambda p, s: scvx_iteration(model, p, cfg, s)
+        )(params_batch, st)
+    # one cheap all-reduce decides whether ANY lane needs the conelp
+    # cold-init this iteration; the common all-warm case skips its extra
+    # factorize + two KKT solves entirely. NOTE the cond sits at the
+    # BATCH level on purpose: under vmap a per-lane cond inside ipm_solve
+    # would lower to select and compute BOTH branches every iteration.
+    # The price is compile-time only (two near-identical branch graphs),
+    # amortized by the persistent compilation cache; the ~9% runtime of
+    # the always-on cold init was real (BASELINE.md M4b).
+    return jax.lax.cond(
+        jnp.all(jnp.isfinite(st.ipm_carry.gap)),
+        lambda s: jax.vmap(
+            lambda p, x: scvx_iteration(model, p, cfg, x,
+                                        assume_warm_valid=True)
+        )(params_batch, s),
+        lambda s: jax.vmap(
+            lambda p, x: scvx_iteration(model, p, cfg, x)
+        )(params_batch, s),
+        st,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def solve_batch(model: Model, params_batch, cfg: SolverConfig) -> ScvxState:
     """Solve a batch of scenarios (params_batch leaves have leading batch axis).
@@ -46,31 +74,89 @@ def solve_batch(model: Model, params_batch, cfg: SolverConfig) -> ScvxState:
         return jnp.any((~st.converged) & (st.iterations < cfg.scvx.max_iters))
 
     def body(st: ScvxState):
-        if not cfg.ipm.warm_start:
-            return jax.vmap(
-                lambda p, s: scvx_iteration(model, p, cfg, s)
-            )(params_batch, st)
-        # one cheap all-reduce decides whether ANY lane needs the conelp
-        # cold-init this iteration; the common all-warm case skips its extra
-        # factorize + two KKT solves entirely. NOTE the cond sits at the
-        # BATCH level on purpose: under vmap a per-lane cond inside ipm_solve
-        # would lower to select and compute BOTH branches every iteration.
-        # The price is compile-time only (two near-identical branch graphs),
-        # amortized by the persistent compilation cache; the ~9% runtime of
-        # the always-on cold init was real (BASELINE.md M4b).
-        return jax.lax.cond(
-            jnp.all(jnp.isfinite(st.ipm_carry.gap)),
-            lambda s: jax.vmap(
-                lambda p, x: scvx_iteration(model, p, cfg, x,
-                                            assume_warm_valid=True)
-            )(params_batch, s),
-            lambda s: jax.vmap(
-                lambda p, x: scvx_iteration(model, p, cfg, x)
-            )(params_batch, s),
-            st,
-        )
+        return _batch_body(model, params_batch, cfg, st)
 
     return jax.lax.while_loop(cond, body, st0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _solve_chunk(model: Model, params_batch, cfg: SolverConfig, chunk: int,
+                 st: ScvxState) -> ScvxState:
+    """Run up to ``chunk`` lockstep iterations (early exit when all done)."""
+
+    def cond(c):
+        i, s = c
+        return (i < chunk) & jnp.any(
+            (~s.converged) & (s.iterations < cfg.scvx.max_iters)
+        )
+
+    def body(c):
+        i, s = c
+        return i + 1, _batch_body(model, params_batch, cfg, s)
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), st))
+    return out
+
+
+def solve_batch_compact(model: Model, params_batch, cfg: SolverConfig,
+                        chunk: int = 10, min_bucket: int = 8) -> ScvxState:
+    """solve_batch with host-side COMPACTION of unconverged lanes.
+
+    In the plain lockstep sweep, converged lanes keep executing (masked) until
+    the slowest lane finishes — with p50 ~31 / max ~90 iterations to converge,
+    roughly 40% of the batch compute is spent on finished lanes. This driver
+    runs ``chunk`` iterations at a time, pulls the convergence mask to the
+    host, and re-packs the still-active lanes into the smallest power-of-two
+    bucket (>= min_bucket), padding with already-converged lanes (which are
+    masked inactive). Each lane's math is untouched — lanes are independent
+    under vmap — so per-lane results match solve_batch up to the usual
+    batch-size-dependent XLA fusion numerics (same tolerance class as the
+    batch==single equivalence, tests/test_scvx.py).
+
+    One XLA compilation per distinct bucket size (persistent compilation
+    cache amortizes across runs). Not sharding-aware: use it single-chip, or
+    shard OUTSIDE (one compact sweep per device via pmap-of-hosts patterns).
+    """
+    import numpy as np
+
+    max_iters = cfg.scvx.max_iters
+    B = jnp.shape(jax.tree.leaves(params_batch)[0])[0]
+    st = jax.jit(jax.vmap(lambda p: scvx_init(model, p, cfg)))(params_batch)
+
+    params_np = jax.tree.map(np.asarray, params_batch)
+    # np.array (copy): np.asarray of a jax array is a READ-ONLY view
+    result = jax.tree.map(np.array, st)            # full-size host buffers
+    idx = np.arange(B)                              # packed -> original map
+    pb = params_batch
+    cur = st
+
+    def scatter(res, packed, index):
+        def one(r, p):
+            r = np.asarray(r)
+            r[index] = np.asarray(p)[: len(index)]
+            return r
+        return jax.tree.map(one, res, packed)
+
+    while True:
+        cur = _solve_chunk(model, pb, cfg, chunk, cur)
+        host = jax.tree.map(np.asarray, cur)
+        result = scatter(result, host, idx)
+        alive_packed = (~host.converged) & (host.iterations < max_iters)
+        alive_packed = np.asarray(alive_packed)[: len(idx)]
+        n = int(alive_packed.sum())
+        if n == 0:
+            break
+        bucket = max(min_bucket, 1 << (n - 1).bit_length())
+        if bucket >= len(idx):
+            continue    # no repack win; keep the current packing
+        order = np.where(alive_packed)[0]
+        pad = np.where(~alive_packed)[0][: bucket - n]   # converged = inert
+        sel = np.concatenate([order, pad])
+        idx = idx[sel]
+        pb = jax.tree.map(lambda a: jnp.asarray(a[idx]), params_np)
+        cur = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[sel]), host)
+
+    return jax.tree.map(jnp.asarray, result)
 
 
 def solve_batch_sharded(model: Model, params_batch, cfg: SolverConfig,

@@ -300,3 +300,31 @@ def test_6dof_with_drag_converges():
     # drag genuinely in play: the converged vacuum solution differs
     st_vac = _run(model, rk.default_params(dtype=F64), cfg, 40)
     assert abs(float(st.sigma) - float(st_vac.sigma)) > 1e-3
+
+
+def test_compact_batch_matches_plain():
+    """solve_batch_compact (host-side repacking of unconverged lanes) must
+    reproduce solve_batch lane-for-lane: same converged set and iteration
+    counts, trajectories within the batch==single tolerance class."""
+    from successiveconvexification_tpu.parallel.batch import (
+        solve_batch,
+        solve_batch_compact,
+    )
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = _small_cfg(max_iters=25)
+    B = 6
+    pb = _broadcast_params(params, B)
+    scales = jnp.asarray([1.0, 1.05, 0.95, 1.12, 0.9, 1.02])[:, None]
+    pb = pb.replace(r_init=scales * params.r_init)
+    out_p = solve_batch(model, pb, cfg)
+    out_c = solve_batch_compact(model, pb, cfg, chunk=5, min_bucket=2)
+    np.testing.assert_array_equal(
+        np.asarray(out_c.converged), np.asarray(out_p.converged))
+    np.testing.assert_array_equal(
+        np.asarray(out_c.iterations), np.asarray(out_p.iterations))
+    np.testing.assert_allclose(
+        np.asarray(out_c.X), np.asarray(out_p.X), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_c.sigma), np.asarray(out_p.sigma), rtol=1e-3)
