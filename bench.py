@@ -177,7 +177,12 @@ def main():
     import dataclasses
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
-    n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "60"))
+    # 120-iteration budget + lane compaction (below): every lane converges
+    # (measured 256/256, slowest lane 90) AND wall-clock beats the plain
+    # 60-iteration lockstep sweep — stragglers run in small repacked buckets
+    # instead of holding the full batch (330 s vs 390 s per batch-256 on the
+    # CPU reference measurement)
+    n_scvx = int(os.environ.get("BENCH_SCVX_ITERS", "120"))
     n_ipm = int(os.environ.get("BENCH_IPM_ITERS", "15"))
     # K/substeps overrides exist ONLY for cheap CPU smoke tests of the bench
     # plumbing; the recorded benchmark is the flagship K=50 default
@@ -206,15 +211,19 @@ def main():
         _bench_replan(model, params, cfg)
         return
 
-    # BENCH_COMPACT=1: host-side repacking of unconverged lanes
+    # BENCH_COMPACT (default on): host-side repacking of unconverged lanes
     # (parallel/batch.py::solve_batch_compact) — converged lanes stop costing
-    # compute instead of idling masked until the slowest lane finishes
-    if os.environ.get("BENCH_COMPACT", "") == "1":
+    # compute instead of idling masked until the slowest lane finishes.
+    # BENCH_COMPACT=0 reverts to the plain lockstep solve_batch.
+    if os.environ.get("BENCH_COMPACT", "1") == "1":
         from successiveconvexification_tpu.parallel.batch import (
             solve_batch_compact,
         )
 
-        min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "8"))
+        # bucket floor 64: one XLA compile per bucket size, so 256/128/64 =
+        # 3 compiles (persistent cache amortizes); lower floors shave a bit
+        # more tail compute at the cost of more first-run compiles
+        min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "64"))
 
         def run(pb):
             return solve_batch_compact(model, pb, cfg, min_bucket=min_bucket)
