@@ -123,7 +123,7 @@ def cmd_solve(args, overrides):
 
 def cmd_sweep(args, overrides):
     from successiveconvexification_tpu.parallel.batch import (
-        batch_stats, sample_dispersions, solve_batch,
+        batch_stats, sample_dispersions, solve_batch, solve_batch_compact,
     )
     from successiveconvexification_tpu.io import checkpoint as ckpt
     from successiveconvexification_tpu.utils.metrics import JsonlLogger
@@ -140,17 +140,24 @@ def cmd_sweep(args, overrides):
         "config": cfg.to_dict(),
     }) if args.metrics else None
 
+    if args.compact:
+        def run(pb):
+            return solve_batch_compact(model, pb, cfg)
+    else:
+        def run(pb):
+            return solve_batch(model, pb, cfg)
+
     if args.profile:
         from successiveconvexification_tpu.utils.metrics import profile_trace
 
-        st = solve_batch(model, pb, cfg)     # compile outside the trace
+        st = run(pb)                         # compile outside the trace
         jax.block_until_ready(st.X)
         with profile_trace(args.profile):
-            st = solve_batch(model, pb, cfg)
+            st = run(pb)
             jax.block_until_ready(st.X)
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
     t0 = time.perf_counter()
-    st = solve_batch(model, pb, cfg)
+    st = run(pb)
     jax.block_until_ready(st.X)
     dt = time.perf_counter() - t0
     stats = batch_stats(st)
@@ -203,6 +210,9 @@ def main(argv=None):
     pw.add_argument("--config", default=None)
     pw.add_argument("--batch", type=int, default=256)
     pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--compact", action="store_true",
+                    help="repack unconverged lanes (solve_batch_compact): "
+                         "finished lanes stop costing compute")
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--metrics", default=None)
     pw.add_argument("--profile", default=None, metavar="DIR",
