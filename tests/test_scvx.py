@@ -328,3 +328,33 @@ def test_compact_batch_matches_plain():
         np.asarray(out_c.X), np.asarray(out_p.X), atol=5e-3)
     np.testing.assert_allclose(
         np.asarray(out_c.sigma), np.asarray(out_p.sigma), rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_f32_matches_f64_at_flagship_horizon():
+    """The shipped TPU precision (f32) must reach the same K=50 solution as
+    the f64 reference run: same time-of-flight to 1e-2, full feasibility
+    gates. This is the precision-regime counterpart of the f64 oracle gates."""
+    model = rk.rocket6dof_model()
+    outs = {}
+    for dtype in ("float64", "float32"):
+        params = rk.default_params(dtype=jnp.dtype(dtype))
+        cfg = scvx.SolverConfig(
+            dtype=dtype,
+            disc=scvx.DiscretizationConfig(K=50, substeps=5),
+            ipm=scvx.IPMConfig(max_iters=30, refine_steps=2),
+            scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=60),
+        )
+        st = _run(model, params, cfg, 60)
+        assert bool(st.converged), (dtype, int(st.iterations),
+                                    float(st.defect_nl))
+        max_defect, viol = _quality(model, params, cfg, st)
+        assert max_defect < 2e-3, (dtype, max_defect)
+        assert viol < 1e-3, (dtype, viol)
+        outs[dtype] = st
+    assert abs(float(outs["float32"].sigma) -
+               float(outs["float64"].sigma)) < 1e-2
+    # terminal states agree (position/velocity pins + near-upright attitude)
+    np.testing.assert_allclose(
+        np.asarray(outs["float32"].X[-1]), np.asarray(outs["float64"].X[-1]),
+        atol=5e-3)
