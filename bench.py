@@ -189,8 +189,11 @@ def main():
     K = int(os.environ.get("BENCH_K", "50"))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "8"))
     # Pallas VMEM KKT kernels: measured 1.5x end-to-end on v5e (BASELINE.md),
-    # default-on for the TPU bench; BENCH_USE_PALLAS=0 reverts to XLA smallla
-    use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
+    # default-on for the TPU bench; BENCH_USE_PALLAS=0 reverts to XLA smallla.
+    # Off-TPU the kernels would run in INTERPRET mode (correct, ~1000x slow),
+    # so the default follows the backend.
+    default_pallas = "1" if jax.default_backend() == "tpu" else "0"
+    use_pallas = os.environ.get("BENCH_USE_PALLAS", default_pallas) == "1"
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=K, substeps=substeps),

@@ -226,13 +226,14 @@ class SolverConfig:
     def from_dict(cls, d: Mapping[str, Any]) -> "SolverConfig":
         d = dict(d)
         kwargs: dict[str, Any] = {}
-        # legacy location: use_pallas used to live on SolverConfig
+        # legacy location: use_pallas used to live on SolverConfig. The
+        # legacy key is a FALLBACK only — an explicit setting in the ipm
+        # sub-config (dict key OR an IPMConfig instance, which is always
+        # explicit) wins, consistently for both input forms.
         if "use_pallas" in d:
             up = d.pop("use_pallas")
             ipm = d.get("ipm")
-            if isinstance(ipm, IPMConfig):
-                d["ipm"] = dataclasses.replace(ipm, use_pallas=up)
-            else:
+            if not isinstance(ipm, IPMConfig):
                 ipm = dict(ipm) if isinstance(ipm, Mapping) else {}
                 ipm.setdefault("use_pallas", up)
                 d["ipm"] = ipm

@@ -121,7 +121,16 @@ def save_sharded(path: str, sweep_state, cfg=None, step: int = 0) -> None:
     meta = {"step": step}
     if cfg is not None:
         meta["config_hash"] = config_hash(cfg)
-    np.savez(f"{path}.shard{pid}.npz", _meta=json.dumps(meta), **blobs)
+    # atomic write: a process killed mid-save (the exact fault this module
+    # exists for) must not destroy the previous good checkpoint — write to a
+    # tmp file and rename into place (os.replace is atomic on POSIX)
+    final = f"{path}.shard{pid}.npz"
+    tmp = f"{final}.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, _meta=json.dumps(meta), **blobs)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
 
 
 def restore_sharded(path: str, like, shardings=None, cfg=None):
@@ -163,8 +172,11 @@ def restore_sharded(path: str, like, shardings=None, cfg=None):
             if key in data:
                 return data[key]
             # requested tile differs from the saved tiling: rebuild the full
-            # array once from the saved tiles, then slice
+            # array from the saved tiles, then slice. Track coverage — a
+            # missing tile (host died before/while writing its shard file)
+            # must raise, never be silently zero-filled as "recovered" state.
             full = np.zeros(shape, dtype)
+            covered = np.zeros(shape, bool)
             prefix = f"leaf{leaf_i}|"
             for k, v in data.items():
                 if not k.startswith(prefix):
@@ -176,6 +188,14 @@ def restore_sharded(path: str, like, shardings=None, cfg=None):
                         int(s_) if s_ else None, int(e_) if e_ else None
                     ))
                 full[tuple(sls)] = v
+                covered[tuple(sls)] = True
+            if not covered[tuple(index)].all():
+                raise ValueError(
+                    f"checkpoint shard files do not cover leaf {leaf_i} "
+                    f"index {tuple(index)}: a shard file is missing or was "
+                    "written partially (restore refused — zero-filling would "
+                    "fabricate state)"
+                )
             return full[tuple(index)]
 
         return read

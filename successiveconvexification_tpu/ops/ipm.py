@@ -170,7 +170,7 @@ def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     elif cfg.use_pallas:
         tri = _pallas().tridiag_factor(D, O)
     else:
-        tri = _blocktridiag_factor(D, O)
+        tri = smallla.blocktridiag_factor(D, O)
 
     # Sherman-Morrison data for the sigma arrow
     g = d.g_sig
@@ -192,7 +192,7 @@ def _tri_solve(cfg: IPMConfig, tri, rhs):
     chol_D, Coff = tri
     if cfg.use_pallas:
         return _pallas().tridiag_solve(chol_D, Coff, rhs)
-    return _blocktridiag_solve(chol_D, Coff, rhs)
+    return smallla.blocktridiag_solve(chol_D, Coff, rhs)
 
 
 def _pcr_factor(D: jnp.ndarray, O: jnp.ndarray):
@@ -285,9 +285,6 @@ def _pcr_solve(factors, rhs):
     u = _chol_solve(chol_final, r)
     return u[..., 0] if vec else u
 
-
-_blocktridiag_factor = smallla.blocktridiag_factor
-_blocktridiag_solve = smallla.blocktridiag_solve
 
 
 def _H_solve(f: KKTFactors, bx: Primal, cfg: IPMConfig) -> Primal:

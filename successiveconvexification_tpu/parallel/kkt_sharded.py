@@ -30,7 +30,7 @@ the condensed Schur couplings are computed once per `ksharded_factor` and
 reused by every `ksharded_solve`. Select with ``IPMConfig.kkt_solver =
 "ksharded"`` after installing a mesh via ``set_kkt_mesh``.
 
-The math mirrors ops/ipm._blocktridiag_factor/_solve, which is also used here
+The math mirrors ops/smallla.blocktridiag_factor/_solve, which is also used here
 for the interior chains and the reduced system.
 """
 
@@ -43,9 +43,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from successiveconvexification_tpu.ops.ipm import (
-    _blocktridiag_factor,
-    _blocktridiag_solve,
+from successiveconvexification_tpu.ops.smallla import (
+    blocktridiag_factor as _blocktridiag_factor,
+    blocktridiag_solve as _blocktridiag_solve,
 )
 
 # ---------------------------------------------------------------------------
@@ -79,6 +79,7 @@ class KShardedFactors(NamedTuple):
     C: jnp.ndarray       # (P, nb, nb) reduced separator couplings p -> p+1
     n_orig: int          # unpadded block count
     m: int               # blocks per shard (incl. separator)
+    nshards: int         # mesh axis size AT FACTOR TIME (consistency check)
 
 
 def _pad_chain(D, O, nshards: int):
@@ -190,15 +191,27 @@ def ksharded_factor(D: jnp.ndarray, O: jnp.ndarray,
     )
     Ls, Cs, Ya, Zb, a, b_prev, S, C = body(D, O_pad)
     return KShardedFactors(Ls=Ls, Cs=Cs, Ya=Ya, Zb=Zb, a=a, b_prev=b_prev,
-                           S=S, C=C, n_orig=N, m=m)
+                           S=S, C=C, n_orig=N, m=m, nshards=nshards)
 
 
 def ksharded_solve(f: KShardedFactors, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve M u = rhs (rhs (N, nb)) against ksharded_factor's output."""
+    """Solve M u = rhs (rhs (N, nb)) against ksharded_factor's output.
+
+    The installed mesh must be the SAME one the factors were built with —
+    factors are physically sharded over that axis. Swapping the global mesh
+    between factor and solve would shard_map a mismatched decomposition, so
+    the factor-time shard count is carried in the factors and checked here.
+    """
     mesh, axis = get_kkt_mesh()
     if mesh is None:
         raise ValueError("ksharded backend needs set_kkt_mesh(mesh) first")
     nshards = mesh.shape[axis]
+    if nshards != f.nshards:
+        raise ValueError(
+            f"ksharded_solve: installed mesh has {nshards} shards on axis "
+            f"{axis!r} but the factors were built with {f.nshards} — "
+            "set_kkt_mesh must not change between factor and solve"
+        )
     N, nb = rhs.shape[0], rhs.shape[-1]
     N_pad = f.m * nshards
     if N_pad > N:

@@ -33,6 +33,7 @@ pid = int(sys.argv[1])
 mode = sys.argv[2]           # full | crash | resume
 port = sys.argv[3]
 ckpt = sys.argv[4]
+repo_root = sys.argv[5]
 import jax
 jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
 jax.config.update("jax_enable_x64", True)
@@ -41,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, repo_root)
 import successiveconvexification_tpu as scvx
 from successiveconvexification_tpu.io import checkpoint as ckpt_lib
 from successiveconvexification_tpu.models import pointmass3dof as pm
@@ -113,7 +114,8 @@ def _run_pair(tmp_path, mode: str, port: int, expect_fail: bool = False):
     env = dict(os.environ)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), mode, str(port), ckpt],
+            [sys.executable, str(script), str(i), mode, str(port), ckpt,
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )

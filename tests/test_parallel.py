@@ -70,8 +70,11 @@ def test_batch_stats_reduce(small_cfg):
 def test_graft_entry_single_and_multichip():
     import importlib.util
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "graft_entry", "/root/repo/__graft_entry__.py"
+        "graft_entry", os.path.join(repo_root, "__graft_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -87,9 +90,9 @@ def test_graft_entry_single_and_multichip():
 def test_ksharded_blocktridiag_matches_local():
     """P3/P4: the K-sharded substructuring solve equals the local scan solve
     on a random SPD block-tridiagonal system sharded over 8 devices."""
-    from successiveconvexification_tpu.ops.ipm import (
-        _blocktridiag_factor,
-        _blocktridiag_solve,
+    from successiveconvexification_tpu.ops.smallla import (
+        blocktridiag_factor as _blocktridiag_factor,
+        blocktridiag_solve as _blocktridiag_solve,
     )
     from successiveconvexification_tpu.parallel.kkt_sharded import (
         solve_blocktridiag_ksharded,
