@@ -168,3 +168,36 @@ def test_deterministic_resume_equals_uninterrupted(tmp_path, small_cfg):
 
     np.testing.assert_array_equal(np.asarray(st_a.X), np.asarray(st_b.X))
     np.testing.assert_array_equal(np.asarray(st_a.sigma), np.asarray(st_b.sigma))
+
+
+def test_sharded_restore_refuses_missing_tiles(tmp_path, solved):
+    """A shard file that lost a leaf's tiles (host died mid-write) must make
+    restore raise — zero-filling would fabricate recovered state. Also: the
+    atomic-save tmp file must never be picked up as a shard."""
+    import glob
+
+    import numpy as np
+
+    from successiveconvexification_tpu.io import checkpoint as ckpt
+
+    model, params, st = solved
+    path = str(tmp_path / "sweep")
+    ckpt.save_sharded(path, st, step=3)
+    files = glob.glob(f"{path}.shard*.npz")
+    assert len(files) == 1
+
+    # leftover tmp from an interrupted save is ignored by restore's glob
+    with open(files[0] + ".tmp", "wb") as fh:
+        fh.write(b"garbage")
+
+    like = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), st)
+    out = ckpt.restore_sharded(path, like)
+    np.testing.assert_array_equal(np.asarray(out.X), np.asarray(st.X))
+
+    # drop every blob of leaf 0 (X) from the shard file -> restore must raise
+    z = np.load(files[0], allow_pickle=False)
+    kept = {k: z[k] for k in z.files if not k.startswith("leaf0|")}
+    np.savez(files[0].replace(".npz", "") , **kept)  # np appends .npz
+    with pytest.raises(ValueError, match="do not cover"):
+        ckpt.restore_sharded(path, like)
