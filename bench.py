@@ -194,11 +194,24 @@ def main():
     # so the default follows the backend.
     default_pallas = "1" if jax.default_backend() == "tpu" else "0"
     use_pallas = os.environ.get("BENCH_USE_PALLAS", default_pallas) == "1"
+    # BENCH_EQUILIBRATE: unset = shipped default (Ruiz on cold solves only);
+    # "0" = fully off; "1" = always on (the r2 behavior, for A/B isolation)
+    eq_env = os.environ.get("BENCH_EQUILIBRATE")
+    if eq_env == "0":
+        eq_kw = dict(equilibrate=False)
+    elif eq_env == "1":
+        eq_kw = dict(equilibrate=True, equilibrate_cold_only=False)
+    else:
+        eq_kw = {}
+    # BENCH_KKT: block-tridiagonal backend ("scan" | "pcr" | "ksharded") —
+    # used by the PCR justify-or-retire measurement (single-lane replan mode)
+    kkt_solver = os.environ.get("BENCH_KKT", "scan")
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=K, substeps=substeps),
         ipm=scvx.IPMConfig(max_iters=n_ipm, refine_steps=1, warm_start=True,
-                           use_pallas=use_pallas),
+                           use_pallas=use_pallas, kkt_solver=kkt_solver,
+                           **eq_kw),
         scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=n_scvx),
     )
     model = scvx.rocket6dof_model()
@@ -214,19 +227,31 @@ def main():
         _bench_replan(model, params, cfg)
         return
 
-    # BENCH_COMPACT (default on): host-side repacking of unconverged lanes
-    # (parallel/batch.py::solve_batch_compact) — converged lanes stop costing
-    # compute instead of idling masked until the slowest lane finishes.
-    # BENCH_COMPACT=0 reverts to the plain lockstep solve_batch.
-    if os.environ.get("BENCH_COMPACT", "1") == "1":
+    # BENCH_COMPACT: tail-compaction driver for unconverged lanes.
+    #   "device" (default on TPU) — in-graph argsort-gather repacking; only a
+    #       scalar alive-count crosses the host per chunk (VERDICT r2 item 5:
+    #       the host version's full-state round-trips through the axon tunnel
+    #       made it net-negative on TPU).
+    #   "1" / "host" — legacy host-side repacking (solve_batch_compact).
+    #   "0" — plain lockstep solve_batch.
+    compact = os.environ.get("BENCH_COMPACT", "device")
+    # bucket floor 32 (measured TPU_BATTERY_r03: 12.79 conv-solves/s vs 9.23
+    # at floor 64 / 9.54 uncompacted): the convergence tail (p50 33 ->
+    # max ~90 iterations) runs in small repacked buckets; one XLA compile per
+    # bucket size (persistent cache amortizes)
+    min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "32"))
+    if compact == "device":
+        from successiveconvexification_tpu.parallel.batch import (
+            solve_batch_compact_device,
+        )
+
+        def run(pb):
+            return solve_batch_compact_device(model, pb, cfg,
+                                              min_bucket=min_bucket)
+    elif compact in ("1", "host"):
         from successiveconvexification_tpu.parallel.batch import (
             solve_batch_compact,
         )
-
-        # bucket floor 64: one XLA compile per bucket size, so 256/128/64 =
-        # 3 compiles (persistent cache amortizes); lower floors shave a bit
-        # more tail compute at the cost of more first-run compiles
-        min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "64"))
 
         def run(pb):
             return solve_batch_compact(model, pb, cfg, min_bucket=min_bucket)
@@ -263,6 +288,11 @@ def main():
         "iters_p50": int(jnp.percentile(iters, 50)),
         "iters_p90": int(jnp.percentile(iters, 90)),
         "iters_max": int(jnp.max(iters)),
+        # iteration-breakdown (VERDICT r2 item 4): where the budget goes
+        "accept_mean": round(float(jnp.mean(out.n_accept)), 1),
+        "reject_mean": round(float(jnp.mean(out.n_reject)), 1),
+        "bump_mean": round(float(jnp.mean(out.n_bump)), 2),
+        "ipm_iters_last_mean": round(float(jnp.mean(out.ipm_iters)), 1),
         # the batch runs int(max iters) lockstep while_loop trips, so this is
         # the honest per-SCvx-iteration latency of the whole batch
         "ms_per_scvx_iter": round(dt / max(int(jnp.max(iters)), 1) * 1e3, 1),

@@ -123,12 +123,25 @@ def cmd_solve(args, overrides):
 
 def cmd_sweep(args, overrides):
     from successiveconvexification_tpu.parallel.batch import (
-        batch_stats, sample_dispersions, solve_batch, solve_batch_compact,
+        batch_stats, run_batch, sample_dispersions, solve_batch,
+        solve_batch_compact, solve_batch_compact_device,
     )
     from successiveconvexification_tpu.io import checkpoint as ckpt
     from successiveconvexification_tpu.utils.metrics import JsonlLogger
 
+    if args.distributed:
+        # multi-host bring-up MUST precede any device use (SURVEY §3.4):
+        # jax.distributed wires every process's local chips into one global
+        # device list; the scenario mesh then spans hosts and XLA compiles
+        # the (tiny) cross-host reductions onto DCN.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     cfg = _load_cfg(args, overrides)
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(cfg.dtype)
     model, params = _get_model(args.model, dtype)
     key = jax.random.PRNGKey(args.seed)
@@ -137,10 +150,22 @@ def cmd_sweep(args, overrides):
     logger = JsonlLogger(args.metrics, manifest={
         "cmd": "sweep", "batch": args.batch, "seed": args.seed,
         "devices": [str(d) for d in jax.devices()],
+        "process": [jax.process_index(), jax.process_count()],
         "config": cfg.to_dict(),
-    }) if args.metrics else None
+    }) if args.metrics and jax.process_index() == 0 else None
 
-    if args.compact:
+    if args.distributed:
+        # production path: sharded sweep + periodic async sharded checkpoint
+        # + resume-on-restart (parallel.batch.run_batch)
+        def run(pb):
+            return run_batch(
+                model, pb, cfg, ckpt_path=args.checkpoint,
+                ckpt_every=args.ckpt_every, resume=not args.no_resume,
+            )
+    elif args.compact == "device":
+        def run(pb):
+            return solve_batch_compact_device(model, pb, cfg)
+    elif args.compact == "host":
         def run(pb):
             return solve_batch_compact(model, pb, cfg)
     else:
@@ -160,7 +185,7 @@ def cmd_sweep(args, overrides):
     st = run(pb)
     jax.block_until_ready(st.X)
     dt = time.perf_counter() - t0
-    stats = batch_stats(st)
+    stats = jax.jit(batch_stats)(st)   # jit: works on multi-host global arrays
     rec = {
         "n_converged": int(stats.n_converged), "n_total": int(stats.n_total),
         "mean_iterations": float(stats.mean_iterations),
@@ -169,11 +194,13 @@ def cmd_sweep(args, overrides):
         "wall_s": round(dt, 3),
         "solves_per_s": round(args.batch / dt, 2),
     }
-    print(json.dumps(rec, indent=2))
+    if jax.process_index() == 0:
+        print(json.dumps(rec, indent=2))
     if logger:
         logger.log(rec)
         logger.close()
-    if args.checkpoint:
+    if args.checkpoint and not args.distributed:
+        # distributed runs already committed sharded checkpoints in run_batch
         ckpt.save(args.checkpoint, st, cfg=cfg)
         print(f"sweep state checkpointed to {args.checkpoint}")
 
@@ -210,13 +237,30 @@ def main(argv=None):
     pw.add_argument("--config", default=None)
     pw.add_argument("--batch", type=int, default=256)
     pw.add_argument("--seed", type=int, default=0)
-    pw.add_argument("--compact", action="store_true",
-                    help="repack unconverged lanes (solve_batch_compact): "
-                         "finished lanes stop costing compute")
+    pw.add_argument("--compact", nargs="?", const="device", default="off",
+                    choices=["off", "device", "host"],
+                    help="repack unconverged lanes so finished lanes stop "
+                         "costing compute: 'device' = in-graph argsort-gather "
+                         "(TPU default), 'host' = legacy host repacking")
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--metrics", default=None)
     pw.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one sweep to DIR")
+    # ---- production multi-host driver (SURVEY §3.4, VERDICT r2 item 6) ----
+    pw.add_argument("--distributed", action="store_true",
+                    help="multi-process run: jax.distributed.initialize + "
+                         "scenario mesh over every host's chips + periodic "
+                         "async sharded checkpointing (needs --coordinator, "
+                         "--num-processes, --process-id)")
+    pw.add_argument("--coordinator", default="localhost:12345",
+                    metavar="HOST:PORT")
+    pw.add_argument("--num-processes", type=int, default=1)
+    pw.add_argument("--process-id", type=int, default=0)
+    pw.add_argument("--ckpt-every", type=int, default=10,
+                    help="checkpoint cadence in outer SCvx iterations "
+                         "(distributed mode, with --checkpoint)")
+    pw.add_argument("--no-resume", action="store_true",
+                    help="ignore an existing checkpoint instead of resuming")
 
     pb = sub.add_parser("bench")
     pb.add_argument("--batch", type=int, default=256)

@@ -376,6 +376,37 @@ class IPMState(NamedTuple):
     # budget burned on every warm subproblem). Kept SEPARATE from `converged`
     # so the certificate keeps its meaning.
     stalled: jnp.ndarray     # () bool
+    # Infeasibility certificates (ECOS-style, SURVEY §3.3): a detected-
+    # infeasible lane is diagnosable instead of just "stalled". Both are
+    # scale-invariant residual ratios of the improving-ray certificates:
+    #   primal infeasible:  exists (y, z succeq 0): ||A'y + G'z|| small
+    #                       relative to -(b'y + h'z) > 0
+    #   dual infeasible:    exists x (s succeq 0): ||(Px, Ax, Gx + s)|| small
+    #                       relative to -c'x > 0 (objective improving ray)
+    # The engine's subproblems are feasible/bounded by construction (t-buffer
+    # + virtual control), so these fire only on malformed problems — but then
+    # they name the failure instead of burning budget.
+    prim_infeas: jnp.ndarray  # () bool
+    dual_infeas: jnp.ndarray  # () bool
+
+
+# Status codes for diagnosability (status() below packs the state's terminal
+# flags into one enum-like int array; the flags stay the source of truth).
+STATUS_RUNNING = 0      # budget exhausted without any terminal flag
+STATUS_OPTIMAL = 1
+STATUS_STALLED = 2
+STATUS_PRIM_INFEAS = 3
+STATUS_DUAL_INFEAS = 4
+
+
+def status(st: IPMState) -> jnp.ndarray:
+    """Pack an IPMState's terminal flags into an int32 status code (per lane
+    under vmap). Precedence: optimal > infeasible > stalled."""
+    code = jnp.zeros(jnp.shape(st.converged), jnp.int32)
+    code = jnp.where(st.stalled, STATUS_STALLED, code)
+    code = jnp.where(st.dual_infeas, STATUS_DUAL_INFEAS, code)
+    code = jnp.where(st.prim_infeas, STATUS_PRIM_INFEAS, code)
+    return jnp.where(st.converged, STATUS_OPTIMAL, code)
 
 
 def _shift_into_cone(spec, v: ConeVec, e: ConeVec) -> ConeVec:
@@ -522,6 +553,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     tol_gap = jnp.maximum(cfg.tol_gap, cfg.tol_eps_mult * eps / tau_obj)
     tol_feas = max(cfg.tol_feas, cfg.tol_eps_mult * eps)
     tol_dres = jnp.maximum(cfg.tol_feas, cfg.tol_eps_mult * eps / tau_obj)
+    tol_infeas = max(cfg.tol_infeas, cfg.tol_eps_mult * eps)
 
     state = IPMState(
         x=x0, y=y0, s=s0, z=z0,
@@ -530,6 +562,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         gap=jnp.asarray(jnp.inf, dtype), pres=jnp.asarray(jnp.inf, dtype),
         dres=jnp.asarray(jnp.inf, dtype),
         stalled=jnp.asarray(False),
+        prim_infeas=jnp.asarray(False), dual_infeas=jnp.asarray(False),
     )
 
     def body(_, st: IPMState) -> IPMState:
@@ -558,7 +591,24 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
             bnorm, hnorm)
         dres = jnp.sqrt(socp.primal_inner(rx, rx)) / cnorm
         converged = (gap < tol_gap) & (pres < tol_feas) & (dres < tol_dres)
-        active = ~(st.converged | converged | st.stalled)
+
+        # ---- infeasibility certificates (scale-invariant ratios) ----------
+        # A'y + G'z = rx - c - Px; Ax = ry + b; Gx + s = rz + h — all free
+        # from residual pieces already in hand, so the check costs reductions.
+        aygz = socp.primal_axpy(socp.primal_axpy(rx, c, -1.0), Px, -1.0)
+        by_hz = jnp.sum(b * y) + C.inner(h, z)
+        pinf_num = jnp.sqrt(socp.primal_inner(aygz, aygz))
+        prim_infeas_now = (by_hz < 0.0) & (pinf_num < tol_infeas * (-by_hz))
+        ax = ry + b
+        gxs = {k: rz[k] + h[k] for k in rz}
+        dinf_num = jnp.sqrt(
+            socp.primal_inner(Px, Px) + jnp.sum(ax * ax) + C.inner(gxs, gxs)
+        )
+        dual_infeas_now = (cx < 0.0) & (dinf_num < tol_infeas * (-cx))
+
+        active = ~(st.converged | converged | st.stalled
+                   | st.prim_infeas | prim_infeas_now
+                   | st.dual_infeas | dual_infeas_now)
         act = active.astype(dtype)
 
         W = C.nt_scaling(spec, s, z)
@@ -680,6 +730,8 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
             pres=jnp.where(jnp.isfinite(pres), pres, st.pres),
             dres=jnp.where(jnp.isfinite(dres), dres, st.dres),
             stalled=st.stalled | (active & ~ok),
+            prim_infeas=st.prim_infeas | (~st.converged & prim_infeas_now),
+            dual_infeas=st.dual_infeas | (~st.converged & dual_infeas_now),
         )
 
     # while_loop with an "unconverged" condition instead of a fixed fori_loop:
@@ -690,7 +742,9 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     # way, so this is semantics-preserving.
     def cond(carry):
         i, st = carry
-        return (i < cfg.max_iters) & ~(st.converged | st.stalled)
+        return (i < cfg.max_iters) & ~(
+            st.converged | st.stalled | st.prim_infeas | st.dual_infeas
+        )
 
     def wbody(carry):
         i, st = carry

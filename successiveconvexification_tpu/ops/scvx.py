@@ -47,6 +47,11 @@ class ScvxState(NamedTuple):
     viol_nl: jnp.ndarray    # () total stage-cone violation
     converged: jnp.ndarray  # () bool
     iterations: jnp.ndarray # () int32 — accepted+rejected iterations executed
+    # Where the iterations go (VERDICT r2 item 4: committed breakdown so the
+    # convergence work targets the dominant bucket, not a guess):
+    n_accept: jnp.ndarray   # () int32 — accepted steps
+    n_reject: jnp.ndarray   # () int32 — rejected steps (shrink cascades)
+    n_bump: jnp.ndarray     # () int32 — penalty-continuation rounds
     accepted: jnp.ndarray   # () bool — last step accepted
     rho: jnp.ndarray        # () last acceptance ratio
     nu_norm: jnp.ndarray    # () last candidate's virtual-control L1 norm
@@ -142,6 +147,7 @@ def _unit_ipm_carry(model: Model, cfg: SolverConfig, params, X, U, sigma):
         x=socp.primal_zeros(d0), y=jnp.zeros_like(d0.b), s=e, z=e,
         converged=jnp.asarray(False), iters=jnp.asarray(0, jnp.int32),
         gap=z + jnp.inf, pres=z, dres=z, stalled=jnp.asarray(False),
+        prim_infeas=jnp.asarray(False), dual_infeas=jnp.asarray(False),
     )
 
 
@@ -158,6 +164,9 @@ def scvx_init(model: Model, params, cfg: SolverConfig) -> ScvxState:
         obj_nl=obj, defect_nl=defect, viol_nl=viol,
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
+        n_accept=jnp.asarray(0, jnp.int32),
+        n_reject=jnp.asarray(0, jnp.int32),
+        n_bump=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),
         rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf, pred_dec=z + jnp.inf,
         ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
@@ -232,6 +241,9 @@ def scvx_warm_start(model: Model, params, cfg: SolverConfig,
         obj_nl=obj, defect_nl=defect, viol_nl=viol,
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
+        n_accept=jnp.asarray(0, jnp.int32),
+        n_reject=jnp.asarray(0, jnp.int32),
+        n_bump=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(False),
         rho=z, nu_norm=z + jnp.inf, dx_max=z + jnp.inf, pred_dec=z + jnp.inf,
         ipm_gap=z, ipm_iters=jnp.asarray(0, jnp.int32),
@@ -271,7 +283,15 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState,
     # carry.gap == inf is the "carry invalidated" sentinel (failed solve or
     # penalty rescale last iteration): those lanes restart from the cold init.
     if cfg.ipm.warm_start and assume_warm_valid:
-        sol = ipm.ipm_solve(d, cfg.ipm, init=st.ipm_carry)
+        # hot path: every lane warm-starts from a near-solution carry, which
+        # is already well-scaled — skip the Ruiz presolve here (measured 26%
+        # of flagship wall, see IPMConfig.equilibrate_cold_only)
+        ipm_cfg = cfg.ipm
+        if cfg.ipm.equilibrate and cfg.ipm.equilibrate_cold_only:
+            import dataclasses as _dc
+
+            ipm_cfg = _dc.replace(cfg.ipm, equilibrate=False)
+        sol = ipm.ipm_solve(d, ipm_cfg, init=st.ipm_carry)
     elif cfg.ipm.warm_start:
         sol = ipm.ipm_solve(
             d, cfg.ipm, init=st.ipm_carry,
@@ -437,6 +457,9 @@ def scvx_iteration(model: Model, params, cfg: SolverConfig, st: ScvxState,
         viol_nl=viol_after,
         converged=st.converged | (active & conv_now),
         iterations=st.iterations + active.astype(jnp.int32),
+        n_accept=st.n_accept + (active & accept).astype(jnp.int32),
+        n_reject=st.n_reject + (active & ~accept).astype(jnp.int32),
+        n_bump=st.n_bump + bump.astype(jnp.int32),
         accepted=jnp.where(active, accept, st.accepted),
         rho=jnp.where(active, rho, st.rho),
         nu_norm=jnp.where(active, nu_l1, st.nu_norm),

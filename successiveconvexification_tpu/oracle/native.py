@@ -49,8 +49,130 @@ def _get_lib():
             ctypes.c_double, ctypes.c_int, ctypes.c_double,
             dp, dp, dp, dp, dp,
         ]
+        lib.scvx_oracle_solve_banded.restype = ctypes.c_int
+        lib.scvx_oracle_solve_banded.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            dp, dp, dp, dp, dp,
+            ctypes.c_int, ip, ip,
+            dp,
+            ip, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            dp, dp, dp, dp, dp,
+        ]
         _lib = lib
     return _lib
+
+
+def stage_permutation(d):
+    """Node-interleaved KKT permutation for a StageSOCP (VERDICT r2 item 10).
+
+    The flat KKT ordering ([all w | all p | all q | sig | all y | all z])
+    scatters each trajectory node's coupled rows across the whole matrix; the
+    stage structure only couples node k to node k+1 (SURVEY §2.2: the KKT is
+    block-tridiagonal with a sigma arrow). Interleaving per node —
+    [w_k, p_k, q_k, lin_k, pq_k, soc_k..., tr_k, y_k] — makes the permuted
+    KKT BANDED with half-bandwidth one node block, plus a 5-wide dense tail
+    (sigma column + its 4 cone rows). The native banded LDL' then factors in
+    O(N bw^2) instead of O(N^3): the K=50 flagship subproblem solves in
+    seconds instead of ~30 minutes.
+
+    Returns (perm, n_band, bw): perm maps permuted position -> original index
+    in the dense [x | y | z] layout of tests/dense_ref.py::materialize.
+    """
+    K, nw = d.c_w.shape
+    nx = d.c_p.shape[-1]
+    nrow = d.b.shape[-1]
+    nl = d.h_lin.shape[1]
+    soc_dims = [int(h.shape[-1]) for h in d.h_socs]   # model SOCs, tr last
+
+    n = K * nw + 2 * (K - 1) * nx + 1
+    p_eq = (K - 1) * nrow
+    zb = n + p_eq
+    base_lin = zb
+    base_pq = zb + K * nl
+    base_sig = base_pq + (K - 1) * 2 * nx
+    soc_bases = []
+    cur = base_sig + 4
+    for dd in soc_dims:
+        soc_bases.append(cur)
+        cur += K * dd
+
+    perm = []
+    for k in range(K):
+        perm += [k * nw + j for j in range(nw)]
+        if k < K - 1:
+            perm += [K * nw + k * nx + j for j in range(nx)]                # p_k
+            perm += [K * nw + (K - 1) * nx + k * nx + j for j in range(nx)]  # q_k
+        perm += [base_lin + k * nl + j for j in range(nl)]
+        if k < K - 1:
+            perm += [base_pq + k * 2 * nx + j for j in range(2 * nx)]
+        for b0, dd in zip(soc_bases, soc_dims):
+            perm += [b0 + k * dd + j for j in range(dd)]
+        if k < K - 1:
+            perm += [n + k * nrow + j for j in range(nrow)]
+    n_band = len(perm)
+    perm += [n - 1] + [base_sig + j for j in range(4)]   # sigma arrow tail
+
+    blocksize = nw + 4 * nx + nl + sum(soc_dims) + nrow
+    bw = blocksize          # >= any in-band coupling distance (C++ verifies)
+    return np.asarray(perm, np.int32), n_band, bw
+
+
+def solve_banded(
+    c, A, b, G, h, cones, perm, n_band: int, bw: int,
+    P=None, max_iters: int = 100, tol: float = 1e-10, reg: float = 1e-10,
+) -> DenseSOCPResult:
+    """Banded-KKT native solve (stage-structured elimination); same contract
+    as ``solve`` plus the (perm, n_band, bw) from ``stage_permutation``."""
+    lib = _get_lib()
+    n = int(c.shape[0])
+    p = int(b.shape[0])
+    m = int(h.shape[0])
+    kinds = np.asarray([0 if k == "lin" else 1 for k, _ in cones], np.int32)
+    dims = np.asarray([d for _, d in cones], np.int32)
+    pdiag = None
+    if P is not None:
+        full = np.asarray(P, np.float64)
+        pdiag = np.ascontiguousarray(np.diag(full))
+        if not np.allclose(full, np.diag(pdiag)):
+            raise ValueError("native oracle supports diagonal P only")
+    perm = np.ascontiguousarray(np.asarray(perm, np.int32))
+    assert perm.shape[0] == n + p + m
+
+    x = np.zeros(n)
+    y = np.zeros(max(p, 1))
+    z = np.zeros(m)
+    s = np.zeros(m)
+    stats = np.zeros(5)
+    cA = np.ascontiguousarray(np.asarray(A, np.float64))
+    cG = np.ascontiguousarray(np.asarray(G, np.float64))
+    cc = np.ascontiguousarray(np.asarray(c, np.float64))
+    cb = np.ascontiguousarray(np.asarray(b, np.float64))
+    ch = np.ascontiguousarray(np.asarray(h, np.float64))
+    cpd = np.ascontiguousarray(pdiag) if pdiag is not None else None
+    dpp = ctypes.POINTER(ctypes.c_double)
+    ipp = ctypes.POINTER(ctypes.c_int)
+    ret = lib.scvx_oracle_solve_banded(
+        n, p, m,
+        cc.ctypes.data_as(dpp), cA.ctypes.data_as(dpp),
+        cb.ctypes.data_as(dpp), cG.ctypes.data_as(dpp),
+        ch.ctypes.data_as(dpp),
+        len(cones),
+        kinds.ctypes.data_as(ipp), dims.ctypes.data_as(ipp),
+        cpd.ctypes.data_as(dpp) if cpd is not None else None,
+        perm.ctypes.data_as(ipp), int(n_band), int(bw),
+        tol, max_iters, reg,
+        x.ctypes.data_as(dpp), y.ctypes.data_as(dpp),
+        z.ctypes.data_as(dpp), s.ctypes.data_as(dpp),
+        stats.ctypes.data_as(dpp),
+    )
+    if ret != 0:
+        raise RuntimeError(f"native banded oracle failed with code {ret}")
+    return DenseSOCPResult(
+        x=x, y=y[:p], z=z, s=s, iters=int(stats[3]),
+        gap=float(stats[0]), pres=float(stats[1]), dres=float(stats[2]),
+        converged=bool(stats[4]),
+    )
 
 
 def available() -> bool:

@@ -90,3 +90,90 @@ def test_quadratic_term():
     res = dense_socp.solve(c, A, b, G, h, [("lin", 2 * n)], P=np.eye(n))
     assert res.converged
     np.testing.assert_allclose(res.x, -c, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Infeasibility certificates of the IN-GRAPH structured IPM (SURVEY §3.3:
+# ECOS-class solvers detect primal/dual infeasibility; VERDICT r2 item 9).
+# The engine's assembled subproblems are feasible/bounded by construction, so
+# these tests construct malformed instances by surgical edits.
+# ---------------------------------------------------------------------------
+def _assemble_structured(K=6):
+    import jax.numpy as jnp
+
+    from successiveconvexification_tpu.config import ScvxConfig
+    from successiveconvexification_tpu.models import pointmass3dof as pm
+    from successiveconvexification_tpu.ops import socp as socp_mod
+    from successiveconvexification_tpu.ops.discretize import discretize
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=jnp.float64)
+    cfg = ScvxConfig()
+    X, U, sigma = model.initial_guess(params, K)
+    disc = discretize(model, params, X, U, sigma, substeps=4)
+    return socp_mod.assemble(
+        model, cfg, params, disc, X, U, sigma,
+        jnp.asarray(1.0, jnp.float64), free_final_time=True,
+    )
+
+
+def test_ipm_primal_infeasibility_certificate():
+    """Two contradictory linear rows (w0 >= 1 and w0 <= -1, buffer column
+    zeroed) make the subproblem primal infeasible; the IPM must surface the
+    dual improving-ray certificate instead of burning budget as 'stalled'."""
+    import jax.numpy as jnp
+
+    from successiveconvexification_tpu.config import IPMConfig
+    from successiveconvexification_tpu.ops import ipm
+
+    d = _assemble_structured()
+    nw = d.c_w.shape[-1]
+    k = 2
+    row_ge = jnp.zeros((nw,), d.G_lin.dtype).at[0].set(-1.0)  # -w0 <= -1
+    row_le = jnp.zeros((nw,), d.G_lin.dtype).at[0].set(1.0)   # +w0 <= -1
+    G_lin = d.G_lin.at[k, 0].set(row_ge).at[k, 1].set(row_le)
+    h_lin = d.h_lin.at[k, 0].set(-1.0).at[k, 1].set(-1.0)
+    d_bad = d._replace(G_lin=G_lin, h_lin=h_lin)
+
+    st = ipm.ipm_solve(d_bad, IPMConfig(max_iters=80))
+    assert bool(st.prim_infeas), (
+        float(st.gap), float(st.pres), bool(st.stalled), int(st.iters)
+    )
+    assert not bool(st.converged)
+    assert int(ipm.status(st)) == ipm.STATUS_PRIM_INFEAS
+
+
+def test_ipm_dual_infeasibility_certificate():
+    """Unbounded objective (free sigma with negative cost and every sigma row
+    zeroed) -> primal improving ray -> dual infeasibility certificate."""
+    import jax.numpy as jnp
+
+    from successiveconvexification_tpu.config import IPMConfig
+    from successiveconvexification_tpu.ops import ipm
+
+    d = _assemble_structured()
+    d_bad = d._replace(
+        c_sig=jnp.asarray(-1.0, d.c_sig.dtype),
+        G_sig=jnp.zeros_like(d.G_sig),
+        h_sig=jnp.ones_like(d.h_sig),
+        g_sig=jnp.zeros_like(d.g_sig),
+    )
+    st = ipm.ipm_solve(d_bad, IPMConfig(max_iters=80))
+    assert bool(st.dual_infeas), (
+        float(st.gap), float(st.pres), bool(st.stalled), int(st.iters)
+    )
+    assert not bool(st.converged)
+    assert int(ipm.status(st)) == ipm.STATUS_DUAL_INFEAS
+
+
+def test_ipm_feasible_problem_not_flagged():
+    """A healthy subproblem must converge with neither infeasibility flag."""
+    from successiveconvexification_tpu.config import IPMConfig
+    from successiveconvexification_tpu.ops import ipm
+
+    d = _assemble_structured()
+    st = ipm.ipm_solve(d, IPMConfig(max_iters=60, tol_gap=1e-8, tol_feas=1e-8,
+                                    refine_steps=2))
+    assert bool(st.converged)
+    assert not bool(st.prim_infeas) and not bool(st.dual_infeas)
+    assert int(ipm.status(st)) == ipm.STATUS_OPTIMAL

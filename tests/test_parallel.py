@@ -186,3 +186,65 @@ def test_ksharded_ipm_matches_scan_on_flagship_subproblem():
     np.testing.assert_allclose(
         float(sol_sh.x.sig), float(sol_scan.x.sig), atol=1e-8
     )
+
+
+def test_compact_device_under_mesh(small_cfg):
+    """Device-side tail compaction composes with P2 sharding (VERDICT r2
+    item 5 'works under an 8-virtual-device mesh'): a scenario-sharded batch
+    run through solve_batch_compact_device matches the plain local sweep."""
+    from successiveconvexification_tpu.parallel.batch import (
+        solve_batch_compact_device,
+    )
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    B = 16
+    pb = sample_dispersions(params, jax.random.PRNGKey(3), B,
+                            r_std=0.2, v_std=0.1, m_frac_std=0.02)
+    out_local = solve_batch(model, pb, small_cfg)
+
+    mesh = mesh_lib.make_mesh()
+    pb_sh = mesh_lib.shard_scenario_tree(pb, mesh)
+    out_c = solve_batch_compact_device(model, pb_sh, small_cfg,
+                                       chunk=2, min_bucket=8)
+    np.testing.assert_array_equal(
+        np.asarray(out_c.converged), np.asarray(out_local.converged))
+    np.testing.assert_allclose(
+        np.asarray(out_c.sigma), np.asarray(out_local.sigma), atol=1e-8)
+
+
+def test_sharded_hard_tr_converged_equivalence():
+    """The SHIPPED default mode (hard TR) gets its own sharded==unsharded
+    gate (VERDICT r2 item 7). Hard-TR accept decisions sit on fp knife edges
+    where sharded-vs-local reduction order can flip a branch, so the gate is
+    TOLERANCE-based on the CONVERGED solutions (not bitwise on the state):
+    every lane must converge in both runs, to the same time-of-flight and
+    terminal trajectory within solver tolerance."""
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = scvx.SolverConfig(
+        dtype="float64",
+        disc=scvx.DiscretizationConfig(K=8, substeps=3),
+        ipm=scvx.IPMConfig(max_iters=15, refine_steps=1),
+        scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=30),  # hard TR default
+    )
+    assert cfg.scvx.tr_mode == "hard"
+    B = 16
+    pb = sample_dispersions(params, jax.random.PRNGKey(7), B,
+                            r_std=0.15, v_std=0.05, m_frac_std=0.02)
+    out_local = solve_batch(model, pb, cfg)
+    mesh = mesh_lib.make_mesh()
+    out_sh = solve_batch_sharded(model, pb, cfg, mesh=mesh)
+
+    conv_l = np.asarray(out_local.converged)
+    conv_s = np.asarray(out_sh.converged)
+    assert conv_l.all(), f"local: {conv_l.sum()}/{B} converged"
+    assert conv_s.all(), f"sharded: {conv_s.sum()}/{B} converged"
+    # same optimum per lane: time of flight and trajectory agree to solver tol
+    np.testing.assert_allclose(
+        np.asarray(out_sh.sigma), np.asarray(out_local.sigma),
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_sh.X), np.asarray(out_local.X), atol=5e-3)
+    # both runs certify full feasibility
+    assert float(jnp.max(out_sh.defect_nl + out_sh.viol_nl)) < 1e-4

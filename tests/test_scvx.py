@@ -358,3 +358,31 @@ def test_f32_matches_f64_at_flagship_horizon():
     np.testing.assert_allclose(
         np.asarray(outs["float32"].X[-1]), np.asarray(outs["float64"].X[-1]),
         atol=5e-3)
+
+
+def test_compact_device_batch_matches_plain():
+    """solve_batch_compact_device (in-graph argsort-gather repacking,
+    VERDICT r2 item 5) must reproduce solve_batch lane-for-lane, like the
+    host-side variant — but with only scalar host syncs."""
+    from successiveconvexification_tpu.parallel.batch import (
+        solve_batch,
+        solve_batch_compact_device,
+    )
+
+    model = pm.pointmass3dof_model()
+    params = pm.default_params(dtype=F64)
+    cfg = _small_cfg(max_iters=25)
+    B = 6
+    pb = _broadcast_params(params, B)
+    scales = jnp.asarray([1.0, 1.05, 0.95, 1.12, 0.9, 1.02])[:, None]
+    pb = pb.replace(r_init=scales * params.r_init)
+    out_p = solve_batch(model, pb, cfg)
+    out_c = solve_batch_compact_device(model, pb, cfg, chunk=5, min_bucket=2)
+    np.testing.assert_array_equal(
+        np.asarray(out_c.converged), np.asarray(out_p.converged))
+    np.testing.assert_array_equal(
+        np.asarray(out_c.iterations), np.asarray(out_p.iterations))
+    np.testing.assert_allclose(
+        np.asarray(out_c.X), np.asarray(out_p.X), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_c.sigma), np.asarray(out_p.sigma), rtol=1e-3)
