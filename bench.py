@@ -214,6 +214,21 @@ def main():
                            **eq_kw),
         scvx=dataclasses.replace(scvx.ScvxConfig(), max_iters=n_scvx),
     )
+    # BENCH_OVERRIDES="scvx.tr_grow=3.0,scvx.rho2=0.8": dotted config
+    # overrides for on-chip schedule sweeps (same key space as the CLI)
+    ov = os.environ.get("BENCH_OVERRIDES", "")
+    if ov:
+        d = cfg.to_dict()
+        for pair in ov.split(","):
+            key, _, val = pair.partition("=")
+            cur = d
+            parts = key.strip().split(".")
+            for p in parts[:-1]:
+                cur = cur[p]
+            old = cur[parts[-1]]
+            cur[parts[-1]] = (val in ("1", "true", "True")) if isinstance(
+                old, bool) else type(old)(val)
+        cfg = scvx.SolverConfig.from_dict(d)
     model = scvx.rocket6dof_model()
     params = rk.default_params(dtype=jnp.float32)
     key = jax.random.PRNGKey(0)

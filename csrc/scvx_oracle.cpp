@@ -762,14 +762,23 @@ struct BandedBackend : KKTBackend {
 
     solve_permuted(pr.data());
 
-    // iterative refinement against the assembled (regularized) matrix: the
-    // no-pivot banded LDL' loses accuracy as the late-IPM W'W blocks get
-    // ill-conditioned; a few cheap refinement sweeps (each = one band matvec
-    // + one band solve) restore it
-    std::vector<double> rhs0(resid);
-    for (int pass = 0; pass < 3; ++pass) {
+    // GUARDED iterative refinement against the assembled (regularized)
+    // matrix: the no-pivot banded LDL' loses accuracy as the late-IPM W'W
+    // blocks get ill-conditioned; each sweep is one band matvec + one band
+    // solve, accepted only if it reduces the residual norm (with clamped
+    // pivots an unguarded sweep can diverge and poison the direction).
+    std::vector<double> rhs0(resid), best(pr);
+    double best_res = 1e300;
+    for (int pass = 0; pass < 4; ++pass) {
       matvec(pr.data(), pr2.data());
-      for (int i = 0; i < N; ++i) resid[i] = rhs0[i] - pr2[i];
+      double rn = 0.0;
+      for (int i = 0; i < N; ++i) {
+        resid[i] = rhs0[i] - pr2[i];
+        rn += resid[i] * resid[i];
+      }
+      if (!std::isfinite(rn)) { std::memcpy(pr.data(), best.data(), sizeof(double) * N); break; }
+      if (rn < best_res) { best_res = rn; std::memcpy(best.data(), pr.data(), sizeof(double) * N); }
+      else { std::memcpy(pr.data(), best.data(), sizeof(double) * N); break; }
       solve_permuted(resid.data());
       for (int i = 0; i < N; ++i) pr[i] += resid[i];
     }

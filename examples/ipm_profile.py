@@ -12,8 +12,10 @@ Usage: [B=256] [PALLAS=1] [K=50] python examples/ipm_profile.py
 import functools
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax

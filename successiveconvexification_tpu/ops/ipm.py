@@ -120,12 +120,85 @@ def _pallas():
     return pallas_kkt
 
 
+def _pq_sig_terms(d: StageSOCP, W, reg):
+    """The non-w diagonal H pieces (p/q/sigma) of build_H, standalone."""
+    wt = C.winv2_terms(_spec_of(d), W)
+    nx = d.c_p.shape[-1]
+    dpq = wt["pq"]["d"]
+    d_p = dpq[:, :nx] + reg
+    d_q = dpq[:, nx:] + reg
+    dsig = wt["sig"]["d"]
+    h_sig = (jnp.sum(d.G_sig * dsig * d.G_sig) + (1.0 - d.free_sig)
+             + d.Q_sig + reg)
+    return d_p, d_q, h_sig
+
+
+def _fused_factor_inputs(d: StageSOCP, W, reg):
+    """Linearize build_H's cone structure into per-row H weights for the
+    fused VMEM kernel (ops/pallas_fused.py): H = sum_r wrow_r g_r g_r'
+    + sum_cones ucoef (G'uv)(G'uv)' + diag(hdiag)."""
+    wt = C.winv2_terms(_spec_of(d), W)
+    K, nw = d.c_w.shape
+    dtype = d.c_w.dtype
+    nl = d.G_lin.shape[1]
+    wrows = [wt["lin"]["d"]]
+    uvs = [jnp.zeros((K, nl), dtype)]
+    ucs = []
+    ranges = []
+    off = nl
+    for i, G in enumerate(d.G_socs):
+        key = "tr" if i == len(d.G_socs) - 1 else f"soc{i}"
+        coef = wt[key]["coef"]                 # (K,)
+        v = wt[key]["v"]                       # (K, dim)
+        dim = G.shape[1]
+        jd = jnp.concatenate(
+            [-jnp.ones((1,), dtype), jnp.ones((dim - 1,), dtype)])
+        wrows.append(coef[:, None] * jd[None, :])
+        uvs.append(v)
+        ucs.append(2.0 * coef)
+        ranges.append((off, off + dim))
+        off += dim
+    G_cat = jnp.concatenate([d.G_lin] + list(d.G_socs), axis=1)
+    wrow = jnp.concatenate(wrows, axis=1)
+    uv = jnp.concatenate(uvs, axis=1)
+    ucoef = jnp.stack(ucs, axis=-1)
+    hdiag = (1.0 - d.free_w) + d.Q_w + reg
+    return G_cat, wrow, uv, ucoef, hdiag, tuple(ranges)
+
+
 def factorize(d: StageSOCP, W, cfg: IPMConfig) -> KKTFactors:
     K, nw = d.c_w.shape
     nx = d.c_p.shape[-1]
     nrow = d.b.shape[-1]  # nx + n_tangent
     dtype = d.c_w.dtype
     reg = jnp.asarray(cfg.static_reg, dtype)
+
+    if (cfg.use_pallas and cfg.kkt_solver == "scan"
+            and d.Q_r1.shape[1] == 0):
+        # Fully fused VMEM factorization (ops/pallas_fused.py): H is BUILT,
+        # factored, and Schur-eliminated inside one kernel — H/XE/XF/D/O
+        # never materialize in HBM, and the tiny-dim G'WG einsums (measured
+        # 35.9 of the 36.1 ms factorize at B=256, examples/ipm_profile.py)
+        # become unrolled VPU rank-1 updates over the lane tile.
+        from successiveconvexification_tpu.ops import pallas_fused as PF
+
+        d_p, d_q, h_sig = _pq_sig_terms(d, W, reg)
+        G_cat, wrow, uv, ucoef, hdiag, ranges = _fused_factor_inputs(
+            d, W, reg)
+        diag_pq = jnp.zeros((K - 1, nrow), dtype)
+        diag_pq = diag_pq.at[:, :nx].set(1.0 / d_p + 1.0 / d_q)
+        diag_pq = diag_pq + (1.0 - d.eq_row_free) + reg
+        PF.set_soc_ranges(ranges)
+        chol_Hw, Ltri, Ctri = PF.fused_factor(
+            G_cat, wrow, uv, ucoef, hdiag, d.E, d.F, diag_pq)
+        tri = (Ltri, Ctri)
+        g = d.g_sig
+        t = _tri_solve(cfg, tri, g)
+        sm_denom = h_sig + jnp.sum(g * t)
+        return KKTFactors(
+            chol_Hw=chol_Hw, d_p=d_p, d_q=d_q, h_sig=h_sig,
+            tri=tri, sm_t=t, sm_denom=sm_denom,
+        )
 
     H, d_p, d_q, h_sig = build_H(d, W, reg)
     if cfg.use_pallas:

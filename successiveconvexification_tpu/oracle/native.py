@@ -118,13 +118,102 @@ def stage_permutation(d):
     return np.asarray(perm, np.int32), n_band, bw
 
 
+def _ruiz_scales(A, G, cones, iters: int = 8):
+    """Structured Ruiz equilibration scales for the banded native solve.
+
+    Row scales for A (da) and G (dr, UNIFORM within each SOC block so the
+    scaled slack stays in the cone), column scales dc — iterated inf-norm
+    balancing. The raw subproblem data spans ~1e-4 trust entries to ~1e3
+    penalty weights; without this the no-pivot banded LDL' floors near
+    gap ~1e-4 (measured at K=50), with it the pivots see O(1) data.
+    """
+    p, n = A.shape
+    m = G.shape[0]
+    da = np.ones(p)
+    dr = np.ones(m)
+    dc = np.ones(n)
+    blocks = []
+    off = 0
+    for kind, dd in cones:
+        if kind == "lin":
+            blocks.append(("lin", slice(off, off + dd)))
+        else:
+            blocks.append(("soc", slice(off, off + dd)))
+        off += dd
+    for _ in range(iters):
+        As = np.abs(A) * da[:, None] * dc[None, :]
+        Gs = np.abs(G) * dr[:, None] * dc[None, :]
+        cn = Gs.max(axis=0)
+        if p:
+            cn = np.maximum(cn, As.max(axis=0))
+        cn = np.sqrt(np.where(cn > 0, cn, 1.0))
+        dc /= cn
+        if p:
+            rn = (np.abs(A) * da[:, None] * dc[None, :]).max(axis=1)
+            da /= np.sqrt(np.where(rn > 0, rn, 1.0))
+        Gs = np.abs(G) * dr[:, None] * dc[None, :]
+        for kind, sl in blocks:
+            if kind == "lin":
+                rn = Gs[sl].max(axis=1)
+                dr[sl] /= np.sqrt(np.where(rn > 0, rn, 1.0))
+            else:
+                bn = Gs[sl].max()
+                dr[sl] /= np.sqrt(bn if bn > 0 else 1.0)
+    return da, dr, dc
+
+
 def solve_banded(
     c, A, b, G, h, cones, perm, n_band: int, bw: int,
     P=None, max_iters: int = 100, tol: float = 1e-10, reg: float = 1e-10,
+    equilibrate: bool = True,
 ) -> DenseSOCPResult:
     """Banded-KKT native solve (stage-structured elimination); same contract
-    as ``solve`` plus the (perm, n_band, bw) from ``stage_permutation``."""
+    as ``solve`` plus the (perm, n_band, bw) from ``stage_permutation``.
+
+    ``equilibrate``: Ruiz-scale the data first (diagonal, so the permutation
+    and bandwidth are unchanged) and unscale the returned solution; the
+    reported residual stats are recomputed in RAW coordinates.
+    """
     lib = _get_lib()
+    if equilibrate:
+        A0, G0, c0, b0, h0, P0 = A, G, c, b, h, P
+        da, dr, dc = _ruiz_scales(np.asarray(A, np.float64),
+                                  np.asarray(G, np.float64), cones)
+        A = np.asarray(A, np.float64) * da[:, None] * dc[None, :]
+        G = np.asarray(G, np.float64) * dr[:, None] * dc[None, :]
+        b = np.asarray(b, np.float64) * da
+        h = np.asarray(h, np.float64) * dr
+        c = np.asarray(c, np.float64) * dc
+        tau = 1.0 / max(1.0, float(np.max(np.abs(c))) if c.size else 1.0)
+        c = c * tau
+        if P is not None:
+            P = tau * (dc[:, None] * np.asarray(P, np.float64) * dc[None, :])
+        res = solve_banded(c, A, b, G, h, cones, perm, n_band, bw, P=P,
+                           max_iters=max_iters, tol=tol, reg=reg,
+                           equilibrate=False)
+        x = dc * res.x
+        y = da * res.y / tau
+        z = dr * res.z / tau
+        s = res.s / dr
+        # raw-space certificates
+        c0 = np.asarray(c0, np.float64)
+        A0 = np.asarray(A0, np.float64)
+        G0 = np.asarray(G0, np.float64)
+        b0 = np.asarray(b0, np.float64)
+        h0 = np.asarray(h0, np.float64)
+        Px = (np.asarray(P0, np.float64) @ x) if P0 is not None else 0.0
+        rx = c0 + Px + (A0.T @ y if y.size else 0.0) + G0.T @ z
+        ry = A0 @ x - b0
+        rz = G0 @ x + s - h0
+        pres = float(np.sqrt(np.sum(ry**2) + np.sum(rz**2))
+                     / max(1.0, np.linalg.norm(b0), np.linalg.norm(h0)))
+        dres = float(np.linalg.norm(rx) / max(1.0, np.linalg.norm(c0)))
+        gap = float(abs(s @ z) / max(1.0, abs(c0 @ x)))
+        return DenseSOCPResult(
+            x=x, y=y, z=z, s=s, iters=res.iters, gap=gap, pres=pres,
+            dres=dres, converged=(gap < tol * 10 and pres < tol * 10
+                                  and dres < tol * 10),
+        )
     n = int(c.shape[0])
     p = int(b.shape[0])
     m = int(h.shape[0])

@@ -211,3 +211,56 @@ def test_hard_mode_objective_matches_oracle_at_k50():
     assert abs(obj_engine - obj_oracle) < 1e-5 * max(1.0, abs(obj_oracle)), (
         obj_engine, obj_oracle
     )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("SCVX_SKIP_SLOW") == "1",
+                    reason="explicitly disabled")
+def test_controls_match_NATIVE_oracle_at_flagship_k50():
+    """The <1e-3 control gate at K=50 against the NATIVE C++ solver
+    (VERDICT r2 item 10): the banded stage-structured KKT backend
+    (scvx_oracle_solve_banded, O(N bw^2) per iteration) makes the flagship
+    subproblem solve in seconds, so the native anchor is exercised at the
+    SAME horizon as the mission metric — not just at toy K.
+
+    The banded no-pivot LDL' oracle floors around relative gap ~1e-5..1e-6
+    (dynamically-regularized pivots; primal/dual residuals reach ~1e-9),
+    which is three orders tighter than the 1e-3 gate needs."""
+    model = rk.rocket6dof_model()
+    params = rk.default_params(dtype=F64)
+    cfg = _k50_cfg("soft")
+    it_jit = jax.jit(lambda p, stt: scvx_iteration(model, p, cfg, stt))
+    ipm_jit = jax.jit(lambda d: ipm.ipm_solve(d, cfg.ipm))
+
+    st = scvx_init(model, params, cfg)
+    nrx, nu = model.nr, model.nu
+    max_du = 0.0
+    for i in range(3):
+        disc = discretize(model, params, st.X, st.U, st.sigma,
+                          substeps=cfg.disc.substeps)
+        d = socp.assemble(model, cfg.scvx, params, disc, st.X, st.U, st.sigma,
+                          st.tr_radius, True, st.penalty_scale)
+        sol = ipm_jit(d)
+
+        c, A, b, G, h, cones, P = dense_ref.materialize(d)
+        perm, n_band, bw = native.stage_permutation(d)
+        res = native.solve_banded(
+            np.asarray(c), np.asarray(A), np.asarray(b), np.asarray(G),
+            np.asarray(h), cones, perm, n_band, bw,
+            P=np.ascontiguousarray(np.asarray(P)), tol=1e-9, reg=1e-9,
+            max_iters=60,
+        )
+        # accuracy floor of the banded backend, far inside the 1e-3 gate
+        assert res.gap < 1e-4, (i, res.gap)
+        assert res.pres < 1e-6 and res.dres < 1e-6, (i, res.pres, res.dres)
+        x_or = dense_ref.unflatten_primal(d, jnp.asarray(res.x))
+
+        du = float(jnp.max(jnp.abs(
+            sol.x.w[:, nrx:nrx + nu] - x_or.w[:, nrx:nrx + nu]
+        )))
+        dsig = abs(float(sol.x.sig) - float(x_or.sig))
+        max_du = max(max_du, du, dsig)
+
+        st = it_jit(params, st)
+
+    assert max_du < 1e-3, max_du
