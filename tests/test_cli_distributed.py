@@ -53,8 +53,11 @@ def _run_sweep_pair(ckpt: str, port: int, extra=()):
 @pytest.mark.skipif(os.environ.get("SCVX_SKIP_MULTIPROC") == "1",
                     reason="explicitly disabled")
 def test_cli_distributed_sweep_with_checkpoint_and_resume(tmp_path):
+    # dynamic ports: a fixed pair collides with TIME_WAIT sockets from any
+    # earlier run of this test in the same CI session
+    base_port = 20000 + (os.getpid() % 2000)
     ckpt = str(tmp_path / "sweep_ck")
-    outs = _run_sweep_pair(ckpt, 12397)
+    outs = _run_sweep_pair(ckpt, base_port)
 
     # process 0 prints the sweep stats computed over the GLOBAL batch
     rec = json.loads("{" + outs[0].split("{", 1)[1].rsplit("}", 1)[0] + "}")
@@ -71,7 +74,7 @@ def test_cli_distributed_sweep_with_checkpoint_and_resume(tmp_path):
 
     # resume-on-restart: a fresh ensemble restores the finished sweep and
     # exits immediately (every lane already terminal) with the same stats
-    outs2 = _run_sweep_pair(ckpt, 12398)
+    outs2 = _run_sweep_pair(ckpt, base_port + 1)
     rec2 = json.loads("{" + outs2[0].split("{", 1)[1].rsplit("}", 1)[0] + "}")
     assert rec2["n_total"] == rec["n_total"]
     assert rec2["mean_iterations"] == rec["mean_iterations"]
