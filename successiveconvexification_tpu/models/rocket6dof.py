@@ -122,7 +122,10 @@ def dynamics(params: Rocket6DoFParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.nd
     w = x[I_W]
 
     C_ib = quat_to_dcm(q)
-    thrust_i = C_ib @ u
+    # mul-sum instead of @: identical math; under the SoA/Pallas discretize
+    # vmap a batched 3x3 dot_general is rejected by Mosaic, elementwise+reduce
+    # is not (and XLA fuses both identically on the normal path)
+    thrust_i = jnp.sum(C_ib * u[None, :], axis=1)
 
     mdot = -params.alpha_m * safe_norm(u)
     rdot = v

@@ -133,13 +133,47 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
     f_soa = jax.vmap(model.f, in_axes=(p_ax, -1, -1), out_axes=-1)
 
     def jac_soa(x, u):
-        def one(p, xx, uu):
-            return model.jacobians(p, xx, uu)
+        """A, B columns via EXPLICIT jvp per basis direction. Equivalent to
+        vmap(jacfwd(f)) but without jacfwd's internal vmap, whose reshape
+        plumbing Mosaic rejects inside the Pallas discretize kernel
+        ("infer-vector-layout: unsupported shape cast"); plain jvp only
+        re-traces f's own (Mosaic-clean) elementwise ops."""
+        zx = jnp.zeros_like(x)
+        zu = jnp.zeros_like(u)
 
-        return jax.vmap(one, in_axes=(p_ax, -1, -1), out_axes=-1)(params, x, u)
+        def col(i, nin, wrt_x):
+            # one-hot via iota compare: .at[].set would emit a scatter, which
+            # Pallas TPU lowering does not implement
+            e = (jax.lax.broadcasted_iota(jnp.int32, (nin, 1), 0) == i
+                 ).astype(dtype)
+            tx = jnp.broadcast_to(e, x.shape) if wrt_x else zx
+            tu = zu if wrt_x else jnp.broadcast_to(e, u.shape)
+            _, dv = jax.jvp(lambda xx, uu: f_soa(params, xx, uu),
+                            (x, u), (tx, tu))
+            return dv
 
-    mm = lambda a, b: jnp.einsum("ij...,jk...->ik...", a, b)
-    mv = lambda a, b: jnp.einsum("ij...,j...->i...", a, b)
+        A = jnp.stack([col(i, nx, True) for i in range(nx)], axis=1)
+        B = jnp.stack([col(i, nu, False) for i in range(nu)], axis=1)
+        return A, B
+
+    # unrolled small matmuls over the lane axis: identical math to the
+    # einsums, but lowers to plain VPU mul-adds on (T,)-vector slices —
+    # Mosaic rejects batched tiny dot_generals, and the broadcast-reduce
+    # formulation blows the kernel's scoped-VMEM budget with (14,14,14,T)
+    # temporaries (measured 50 MB stack at T=128)
+    def mm(a, b):
+        n, m = a.shape[0], a.shape[1]
+        k = b.shape[1]
+        return jnp.stack([
+            jnp.stack([
+                sum(a[i, j] * b[j, c] for j in range(m)) for c in range(k)
+            ], axis=0) for i in range(n)
+        ], axis=0)
+
+    def mv(a, v):
+        n, m = a.shape[0], a.shape[1]
+        return jnp.stack(
+            [sum(a[i, j] * v[j] for j in range(m)) for i in range(n)], axis=0)
 
     def u_of(tau):
         lam_p = tau / h if foh else jnp.zeros((), dtype)
@@ -242,15 +276,30 @@ def _discretize_core(model: Model, substeps: int, foh: bool):
         uk = flat(U[:, :-1])
         ukp1 = flat(U[:, 1:])
         sig = jnp.broadcast_to(sigma[:, None], (B, Lk)).reshape(B * Lk)
-        # params: (B, ...) leaves -> trailing-lane (..., B*Lk)
-        pflat = jax.tree.map(
-            lambda a: jnp.moveaxis(
-                jnp.broadcast_to(a[:, None], (B, Lk) + a.shape[1:]).reshape(
-                    (B * Lk,) + a.shape[1:]), 0, -1),
+        # params: (B, ...) leaves -> leading-lane (B*Lk, ...)
+        plead = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[:, None], (B, Lk) + a.shape[1:])
+            .reshape((B * Lk,) + a.shape[1:]),
             params,
         )
-        A, Bm, Bp, S, z, x_end = _aug_rk4_soa(
-            model, pflat, xk, uk, ukp1, sig, h, substeps, foh)
+        import os as _os
+
+        use_kernel = _os.environ.get(
+            "SCVX_PALLAS_DISC",
+            "1" if jax.default_backend() == "tpu" else "0") == "1"
+        if use_kernel:
+            # whole-interval integration inside VMEM (ops/pallas_disc.py):
+            # the RK4 carry never round-trips HBM between stage evaluations
+            from successiveconvexification_tpu.ops import pallas_disc
+
+            # h passed as a python float: K is static, and a traced closure
+            # constant would be rejected by pallas_call
+            A, Bm, Bp, S, z, x_end = pallas_disc.discretize_lanes(
+                model, plead, xk, uk, ukp1, sig, 1.0 / (K - 1), substeps, foh)
+        else:
+            pflat = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), plead)
+            A, Bm, Bp, S, z, x_end = _aug_rk4_soa(
+                model, pflat, xk, uk, ukp1, sig, h, substeps, foh)
 
         def unflat(a):
             # (i, j, B*Lk) -> (B, Lk, i, j);  (i, B*Lk) -> (B, Lk, i)

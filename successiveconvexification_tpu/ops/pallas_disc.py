@@ -1,0 +1,133 @@
+"""Pallas kernel for the RK4 multiple-shooting linearization (discretize).
+
+After the IPM fusion, discretize is the largest SCvx stage (isolated: 104 ms
+/ 10.9 GB at B=256 K=50). The traffic is the RK4 carry — 7 augmented tensors
+(Phi/P 14x14, Bm/Bp 14x3, x/S/z 14) re-materialized through HBM at every one
+of 4 x substeps stage evaluations, each padded from (..., 14, 14) to
+(..., 16, 128) tiles. The pure-XLA batch-last rewrite (ops/discretize.py
+_aug_rk4_soa) did not stick: XLA re-normalizes physical layouts.
+
+This kernel runs the WHOLE interval integration per lane tile inside VMEM:
+one grid step = one (B x interval) lane tile, the full substep loop, zero
+HBM traffic between stages. The kernel body literally calls the same
+_aug_rk4_soa code on loaded values — dynamics and Jacobians trace through
+``jax.vmap(model.f, in_axes=-1)`` / jvp into Mosaic vector ops, so it stays
+model-generic with no hand-written derivatives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from successiveconvexification_tpu.ops.pallas_kkt import _interpret
+
+LANE_TILE = 256
+
+
+def _pack_params(params, L):
+    """Per-lane params pytree (leaves (L, ...) batched) -> (P, L) array plus
+    the static (treedef, shapes) needed to unpack inside the kernel."""
+    leaves, treedef = jax.tree.flatten(params)
+    shapes = tuple(tuple(leaf.shape[1:]) for leaf in leaves)
+    cols = [leaf.reshape(leaf.shape[0], -1) for leaf in leaves]
+    packed = jnp.concatenate(cols, axis=1)        # (L, P)
+    return packed.T, treedef, shapes              # (P, L)
+
+
+def _unpack_params(p_mat, treedef, shapes):
+    """(P, T) -> params pytree with trailing-lane leaves ((..., T))."""
+    leaves = []
+    off = 0
+    for shp in shapes:
+        n = 1
+        for s in shp:
+            n *= s
+        block = p_mat[off:off + n]                # (n, T)
+        leaves.append(block.reshape(shp + (block.shape[-1],)) if shp
+                      else block[0])
+        off += n
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
+    """Fused-lane discretize: inputs have a trailing flat lane axis L
+    (= batch x intervals); returns (A, Bm, Bp, S, z, x_end) trailing-L.
+
+    pflat: params pytree with LEADING lane axis on every leaf (L, ...).
+    """
+    from successiveconvexification_tpu.ops.discretize import _aug_rk4_soa
+
+    nx, nu = model.nx, model.nu
+    dtype = xk.dtype
+    L = xk.shape[-1]
+    T = min(LANE_TILE, max(128, L))
+    T = 128 if L < 128 else T
+    Lp = ((L + T - 1) // T) * T
+
+    def padl(a):  # trailing-lane pad
+        if Lp == a.shape[-1]:
+            return a
+        pad = jnp.zeros(a.shape[:-1] + (Lp - a.shape[-1],), a.dtype)
+        return jnp.concatenate([a, pad], axis=-1)
+
+    p_mat, treedef, shapes = _pack_params(pflat, L)
+    P = p_mat.shape[0]
+    # pad the params by REPLICATING lane 0 (zeros would put m = 0 under the
+    # dynamics' 1/m and poison the padding lanes with inf/nan traffic)
+    if Lp != L:
+        p_mat = jnp.concatenate(
+            [p_mat, jnp.broadcast_to(p_mat[:, :1], (P, Lp - L))], axis=-1)
+    xk_p, uk_p, ukp1_p = padl(xk), padl(uk), padl(ukp1)
+    # pad states likewise with lane 0 (keeps the integration finite)
+    if Lp != L:
+        xk_p = xk_p.at[..., L:].set(xk[..., :1])
+        uk_p = uk_p.at[..., L:].set(uk[..., :1])
+        ukp1_p = ukp1_p.at[..., L:].set(ukp1[..., :1])
+    sig_p = padl(sig[None])                        # (1, Lp)
+
+    def kernel(p_ref, x_ref, u_ref, up_ref, s_ref,
+               a_out, bm_out, bp_out, sv_out, z_out, xe_out):
+        params_t = _unpack_params(p_ref[:, :], treedef, shapes)
+        x = x_ref[:, :]
+        u = u_ref[:, :]
+        up = up_ref[:, :]
+        sg = s_ref[0, :]
+        A, Bm, Bp, S, z, x_end = _aug_rk4_soa(
+            model, params_t, x, u, up, sg, h, substeps, foh)
+        a_out[:, :, :] = A
+        bm_out[:, :, :] = Bm
+        bp_out[:, :, :] = Bp
+        sv_out[:, :] = S
+        z_out[:, :] = z
+        xe_out[:, :] = x_end
+
+    grid = (Lp // T,)
+    vec2 = lambda n: pl.BlockSpec((n, T), lambda g: (0, g),
+                                  memory_space=pltpu.VMEM)
+    vec3 = lambda n, m: pl.BlockSpec((n, m, T), lambda g: (0, 0, g),
+                                     memory_space=pltpu.VMEM)
+    A, Bm, Bp, S, z, x_end = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, nx, Lp), dtype),
+            jax.ShapeDtypeStruct((nx, nu, Lp), dtype),
+            jax.ShapeDtypeStruct((nx, nu, Lp), dtype),
+            jax.ShapeDtypeStruct((nx, Lp), dtype),
+            jax.ShapeDtypeStruct((nx, Lp), dtype),
+            jax.ShapeDtypeStruct((nx, Lp), dtype),
+        ),
+        grid=grid,
+        in_specs=[vec2(P), vec2(nx), vec2(nu), vec2(nu), vec2(1)],
+        out_specs=(vec3(nx, nx), vec3(nx, nu), vec3(nx, nu),
+                   vec2(nx), vec2(nx), vec2(nx)),
+        # the RK4 body's live set (aug carry + 4 stage temps + jvp tangents)
+        # exceeds the 16 MB default scoped-vmem budget at T=128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(p_mat, xk_p, uk_p, ukp1_p, sig_p)
+    trim = lambda a: a[..., :L]
+    return tuple(trim(t) for t in (A, Bm, Bp, S, z, x_end))
