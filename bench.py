@@ -203,9 +203,13 @@ def main():
         eq_kw = dict(equilibrate=True, equilibrate_cold_only=False)
     else:
         eq_kw = {}
-    # BENCH_KKT: block-tridiagonal backend ("scan" | "pcr" | "ksharded") —
-    # used by the PCR justify-or-retire measurement (single-lane replan mode)
-    kkt_solver = os.environ.get("BENCH_KKT", "scan")
+    # BENCH_KKT: block-tridiagonal backend ("scan" | "pcr" | "ksharded").
+    # Measured on v5e (TPU_BATTERY_r03.log): single-lane replanning is
+    # latency-bound on the sequential K-scan, and PCR's log-depth recursion
+    # wins 3.35x per SCvx iteration (p50 39.1 vs 131.1 ms); batched sweeps
+    # are throughput-bound and scan wins there. Default follows the mode.
+    default_kkt = "pcr" if os.environ.get("BENCH_MODE") == "replan" else "scan"
+    kkt_solver = os.environ.get("BENCH_KKT", default_kkt)
     cfg = scvx.SolverConfig(
         dtype="float32",
         disc=scvx.DiscretizationConfig(K=K, substeps=substeps),

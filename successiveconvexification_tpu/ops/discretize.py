@@ -132,48 +132,88 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
                         else None, params)
     f_soa = jax.vmap(model.f, in_axes=(p_ax, -1, -1), out_axes=-1)
 
-    def jac_soa(x, u):
-        """A, B columns via EXPLICIT jvp per basis direction. Equivalent to
-        vmap(jacfwd(f)) but without jacfwd's internal vmap, whose reshape
-        plumbing Mosaic rejects inside the Pallas discretize kernel
-        ("infer-vector-layout: unsupported shape cast"); plain jvp only
-        re-traces f's own (Mosaic-clean) elementwise ops."""
+    # lane-replicated params for the fan-out jvp below (only lane-batched
+    # leaves are replicated; static leaves pass through)
+    NC = nx + nu
+
+    def _rep(a):
+        return jnp.concatenate([a] * NC, axis=-1)
+
+    params_rep = jax.tree.map(
+        lambda a: _rep(a) if (jnp.ndim(a) and jnp.shape(a)[-1] == L) else a,
+        params)
+
+    def fv_jac_soa(x, u):
+        """f(x,u), A = df/dx, B = df/du in ONE jvp trace.
+
+        The nx+nu one-hot tangent directions are folded into the LANE axis
+        (concatenate, not reshape — Mosaic rejects minor-dim shape casts
+        inside the Pallas discretize kernel), so a single jvp through the
+        (Mosaic-clean) dynamics yields every Jacobian column at once. This
+        replaces 17 separate jvp re-traces of the dynamics — the op-count
+        explosion that made the fused kernel's Mosaic compile blow up —
+        with ~2 traces' worth of ops on 17x-wide lanes (pure VPU width,
+        which the kernel has to spare). One-hots are built with full-shape
+        iota compares: .at[].set would emit a scatter (unimplemented in
+        Pallas TPU lowering) and (n, 1)-shaped iotas trip a Mosaic layout
+        check ("limits[i] <= dim(i)")."""
+        T = x.shape[-1]
+        xr = _rep(x)
+        ur = _rep(u)
+        rows_x = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        rows_u = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
         zx = jnp.zeros_like(x)
         zu = jnp.zeros_like(u)
+        tx = jnp.concatenate(
+            [(rows_x == i).astype(dtype) for i in range(nx)]
+            + [zx] * nu, axis=-1)
+        tu = jnp.concatenate(
+            [zu] * nx
+            + [(rows_u == i).astype(dtype) for i in range(nu)], axis=-1)
+        fr, dv = jax.jvp(lambda xx, uu: f_soa(params_rep, xx, uu),
+                         (xr, ur), (tx, tu))
+        fv = fr[:, :T]                       # every block shares the primal
+        cols = [dv[:, i * T:(i + 1) * T] for i in range(NC)]
+        # TRANSPOSED storages, leading axis = input (column) index: the jvp
+        # hands us columns, and stacking them on axis 0 keeps every later
+        # contraction on the LEADING axis (see CONTRACT below)
+        AT = jnp.stack(cols[:nx], axis=0)    # (nx_j, nx, T): AT[j] = A[:, j]
+        BT = jnp.stack(cols[nx:], axis=0)    # (nu_j, nx, T): BT[j] = B[:, j]
+        return fv, AT, BT
 
-        def col(i, nin, wrt_x):
-            # one-hot via iota compare: .at[].set would emit a scatter, which
-            # Pallas TPU lowering does not implement
-            e = (jax.lax.broadcasted_iota(jnp.int32, (nin, 1), 0) == i
-                 ).astype(dtype)
-            tx = jnp.broadcast_to(e, x.shape) if wrt_x else zx
-            tu = zu if wrt_x else jnp.broadcast_to(e, u.shape)
-            _, dv = jax.jvp(lambda xx, uu: f_soa(params, xx, uu),
-                            (x, u), (tx, tu))
-            return dv
+    # ---- leading-axis contraction algebra -------------------------------
+    # Mosaic layout rules drive the whole formulation: indexing the LEADING
+    # axis of a rank-3 (j, a, T) array is a free vreg selection, while any
+    # size-1 SUBLANE slice at nonzero offset aborts the compiler
+    # ("offsets_[0] < tiling_[0]"), mixed int+newaxis indexing emits rank-3
+    # gathers ("Only 2D gather is supported"), and batched tiny dot_generals
+    # are rejected outright. So every matrix is stored with its CONTRACTED
+    # index leading, and every product is
+    #     CONTRACT(X, Y)[a, b] = sum_j X[j, a] Y[j, b]   (= X^T Y),
+    # an unrolled sum of (a, 1, T) x (1, b, T) broadcast mul-adds. XLA fuses
+    # the same code into one loop fusion on the non-kernel path.
+    def contract(X, Y):
+        m = X.shape[0]
+        acc = X[0][:, None, :] * Y[0][None, :, :]
+        for j in range(1, m):
+            acc = acc + X[j][:, None, :] * Y[j][None, :, :]
+        return acc
 
-        A = jnp.stack([col(i, nx, True) for i in range(nx)], axis=1)
-        B = jnp.stack([col(i, nu, False) for i in range(nu)], axis=1)
-        return A, B
+    def contractv(X, v):
+        # sum_j X[j] * v[j] == (X^T v): one vectorized mul + leading reduce
+        return jnp.sum(X * v[:, None, :], axis=0)
 
-    # unrolled small matmuls over the lane axis: identical math to the
-    # einsums, but lowers to plain VPU mul-adds on (T,)-vector slices —
-    # Mosaic rejects batched tiny dot_generals, and the broadcast-reduce
-    # formulation blows the kernel's scoped-VMEM budget with (14,14,14,T)
-    # temporaries (measured 50 MB stack at T=128)
-    def mm(a, b):
-        n, m = a.shape[0], a.shape[1]
-        k = b.shape[1]
-        return jnp.stack([
-            jnp.stack([
-                sum(a[i, j] * b[j, c] for j in range(m)) for c in range(k)
-            ], axis=0) for i in range(n)
-        ], axis=0)
-
-    def mv(a, v):
-        n, m = a.shape[0], a.shape[1]
-        return jnp.stack(
-            [sum(a[i, j] * v[j] for j in range(m)) for i in range(n)], axis=0)
+    def transpose3(X):
+        # CONTRACT(X, I): Mosaic-safe transpose of the leading two dims,
+        # (m, n, T) -> (n, m, T), via one-hot masks of width m
+        m, T = X.shape[0], X.shape[-1]
+        eye_rows = [
+            (jax.lax.broadcasted_iota(jnp.int32, (m, T), 0) == j
+             ).astype(X.dtype) for j in range(m)]
+        acc = X[0][:, None, :] * eye_rows[0][None, :, :]
+        for j in range(1, m):
+            acc = acc + X[j][:, None, :] * eye_rows[j][None, :, :]
+        return acc
 
     def u_of(tau):
         lam_p = tau / h if foh else jnp.zeros((), dtype)
@@ -181,26 +221,32 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
         return lam_m, lam_p, lam_m * uk + lam_p * ukp1
 
     def aug_dot(tau, aug):
-        x, Phi, P, Bm, Bp, S, z = aug
+        # carry: Phi standard (rows leading), PhiT = Phi^T, PT = P^T
+        # (P appears only as a LEFT factor, so only its transpose is needed);
+        # Bm/Bp standard (they appear only as RIGHT factors)
+        x, Phi, PhiT, PT, Bm, Bp, S, z = aug
         lam_m, lam_p, u = u_of(tau)
-        fv = f_soa(params, x, u)
-        Ac, Bc = jac_soa(x, u)
-        sA = sigma * Ac
-        sB = sigma * Bc
-        PsB = mm(P, sB)
+        fv, AT, BT = fv_jac_soa(x, u)
+        sAT = sigma * AT                     # (sigma A)^T storage
+        sBT = sigma * BT
+        sA = transpose3(sAT)                 # (sigma A) standard storage
+        sB = transpose3(sBT)                 # (nx, nu, T) standard
+        PsB = contract(PT, sB)               # P sB, standard
         return (
             sigma * fv,
-            mm(sA, Phi),
-            -mm(P, sA),
+            contract(sAT, Phi),              # (sA Phi)       standard
+            contract(Phi, sAT),              # (sA Phi)^T     = Phi^T sA^T
+            -contract(sA, PT),               # -(P sA)^T      = -sA^T P^T
             lam_m * PsB,
             lam_p * PsB,
-            mv(P, fv),
-            -mv(P, mv(sA, x) + mv(sB, u)),
+            contractv(PT, fv),               # P f
+            -contractv(PT, contractv(sAT, x) + contractv(sBT, u)),
         )
 
     eyeL = jnp.broadcast_to(jnp.eye(nx, dtype=dtype)[..., None], (nx, nx, L))
     aug = (
         xk,
+        eyeL,
         eyeL,
         eyeL,
         jnp.zeros((nx, nu, L), dtype),
@@ -221,9 +267,10 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
         )
 
     aug = jax.lax.fori_loop(0, substeps, rk4_step, aug)
-    x_end, Phi, P, Bm, Bp, S, z = aug
+    x_end, Phi, PhiT, PT, Bm, Bp, S, z = aug
     A_k = Phi
-    Bm_k, Bp_k, S_k, z_k = mm(Phi, Bm), mm(Phi, Bp), mv(Phi, S), mv(Phi, z)
+    Bm_k, Bp_k = contract(PhiT, Bm), contract(PhiT, Bp)
+    S_k, z_k = contractv(PhiT, S), contractv(PhiT, z)
     return A_k, Bm_k, Bp_k, S_k, z_k, x_end
 
 
@@ -284,9 +331,10 @@ def _discretize_core(model: Model, substeps: int, foh: bool):
         )
         import os as _os
 
-        use_kernel = _os.environ.get(
-            "SCVX_PALLAS_DISC",
-            "1" if jax.default_backend() == "tpu" else "0") == "1"
+        # Default OFF: the fused-interval kernel SIGABRTs Mosaic on v5e
+        # ("Check failed: limits[i] <= dim(i)") — opt-in until fixed and
+        # re-validated on the chip (see ops/pallas_disc.py).
+        use_kernel = _os.environ.get("SCVX_PALLAS_DISC", "0") == "1"
         if use_kernel:
             # whole-interval integration inside VMEM (ops/pallas_disc.py):
             # the RK4 carry never round-trips HBM between stage evaluations

@@ -74,6 +74,10 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
         return jnp.concatenate([a, pad], axis=-1)
 
     p_mat, treedef, shapes = _pack_params(pflat, L)
+    # fold sigma in as an extra params row: a standalone (1, T) operand
+    # block trips a Mosaic layout check ("limits[i] <= dim(i)"), a row of a
+    # (P, T) block does not
+    p_mat = jnp.concatenate([p_mat, sig[None, :]], axis=0)
     P = p_mat.shape[0]
     # pad the params by REPLICATING lane 0 (zeros would put m = 0 under the
     # dynamics' 1/m and poison the padding lanes with inf/nan traffic)
@@ -86,15 +90,14 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
         xk_p = xk_p.at[..., L:].set(xk[..., :1])
         uk_p = uk_p.at[..., L:].set(uk[..., :1])
         ukp1_p = ukp1_p.at[..., L:].set(ukp1[..., :1])
-    sig_p = padl(sig[None])                        # (1, Lp)
 
-    def kernel(p_ref, x_ref, u_ref, up_ref, s_ref,
+    def kernel(p_ref, x_ref, u_ref, up_ref,
                a_out, bm_out, bp_out, sv_out, z_out, xe_out):
-        params_t = _unpack_params(p_ref[:, :], treedef, shapes)
+        params_t = _unpack_params(p_ref[:P - 1, :], treedef, shapes)
         x = x_ref[:, :]
         u = u_ref[:, :]
         up = up_ref[:, :]
-        sg = s_ref[0, :]
+        sg = p_ref[P - 1, :]
         A, Bm, Bp, S, z, x_end = _aug_rk4_soa(
             model, params_t, x, u, up, sg, h, substeps, foh)
         a_out[:, :, :] = A
@@ -120,7 +123,7 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
             jax.ShapeDtypeStruct((nx, Lp), dtype),
         ),
         grid=grid,
-        in_specs=[vec2(P), vec2(nx), vec2(nu), vec2(nu), vec2(1)],
+        in_specs=[vec2(P), vec2(nx), vec2(nu), vec2(nu)],
         out_specs=(vec3(nx, nx), vec3(nx, nu), vec3(nx, nu),
                    vec2(nx), vec2(nx), vec2(nx)),
         # the RK4 body's live set (aug carry + 4 stage temps + jvp tangents)
@@ -128,6 +131,6 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(p_mat, xk_p, uk_p, ukp1_p, sig_p)
+    )(p_mat, xk_p, uk_p, ukp1_p)
     trim = lambda a: a[..., :L]
     return tuple(trim(t) for t in (A, Bm, Bp, S, z, x_end))
