@@ -254,12 +254,25 @@ def main():
     #   "1" / "host" — legacy host-side repacking (solve_batch_compact).
     #   "0" — plain lockstep solve_batch.
     compact = os.environ.get("BENCH_COMPACT", "device")
+    seeded = mode == "seeded"
     # bucket floor 32 (measured TPU_BATTERY_r03: 12.79 conv-solves/s vs 9.23
     # at floor 64 / 9.54 uncompacted): the convergence tail (p50 33 ->
     # max ~90 iterations) runs in small repacked buckets; one XLA compile per
     # bucket size (persistent cache amortizes)
     min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "32"))
-    if compact == "device":
+    if seeded:
+        # nominal-seeded Monte-Carlo sweep (production dispersion-analysis
+        # mode): one cold nominal solve, every dispersed lane warm-started
+        # from it with the STM correction. Timed INCLUSIVE of the nominal
+        # solve, so the number is the honest whole-campaign throughput.
+        from successiveconvexification_tpu.parallel.batch import (
+            solve_batch_seeded,
+        )
+
+        def run(pb):
+            return solve_batch_seeded(model, pb, cfg, nominal_params=params,
+                                      min_bucket=min_bucket)
+    elif compact == "device":
         from successiveconvexification_tpu.parallel.batch import (
             solve_batch_compact_device,
         )
@@ -295,7 +308,9 @@ def main():
     conv_solves_per_s = n_conv / dt
     iters = jnp.asarray(out.iterations)
     result = {
-        "metric": "6dof_k50_converged_scvx_solves_per_s_per_chip",
+        "metric": ("6dof_k50_converged_scvx_solves_per_s_per_chip_seeded"
+                   if seeded else
+                   "6dof_k50_converged_scvx_solves_per_s_per_chip"),
         "value": round(conv_solves_per_s, 2),
         "unit": "converged solves/s/chip",
         "vs_baseline": round(conv_solves_per_s / 62.5, 3),

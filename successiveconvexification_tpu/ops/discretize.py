@@ -107,7 +107,8 @@ def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, fo
     return A_k, Bm_k, Bp_k, S_k, z_k, x_end
 
 
-def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
+def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh,
+                 lane_fanout: bool = True):
     """Batch-LAST (SoA) twin of _interval_aug_rk4 over a flat lane axis.
 
     Args have a TRAILING lane axis L (= batch x intervals): xk (nx, L),
@@ -142,6 +143,34 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
     params_rep = jax.tree.map(
         lambda a: _rep(a) if (jnp.ndim(a) and jnp.shape(a)[-1] == L) else a,
         params)
+
+    def fv_jac_nofan(x, u):
+        """f(x,u), A, B via one jvp PER basis direction (no lane fan-out).
+
+        The Pallas kernel path: Mosaic aborts on the lane-concatenated
+        fan-out below (a bare concat + f + slice-back already trips its
+        "offsets_[0] < tiling_[0]" layout check), while per-direction jvps
+        compile clean — measured via the kernel-op probe battery. XLA's
+        CSE dedupes the nx+nu identical primal evaluations, so off-kernel
+        this is the same work as the fan-out, just more HLOs."""
+        rows_x = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        rows_u = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        zx = jnp.zeros_like(x)
+        zu = jnp.zeros_like(u)
+        f_xu = lambda xx, uu: f_soa(params, xx, uu)
+        cols = []
+        for i in range(nx):
+            tx = (rows_x == i).astype(dtype)
+            _, dv = jax.jvp(f_xu, (x, u), (tx, zu))
+            cols.append(dv)
+        for i in range(nu):
+            tu = (rows_u == i).astype(dtype)
+            _, dv = jax.jvp(f_xu, (x, u), (zx, tu))
+            cols.append(dv)
+        fv = f_soa(params, x, u)
+        AT = jnp.stack(cols[:nx], axis=0)
+        BT = jnp.stack(cols[nx:], axis=0)
+        return fv, AT, BT
 
     def fv_jac_soa(x, u):
         """f(x,u), A = df/dx, B = df/du in ONE jvp trace.
@@ -226,7 +255,7 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
         # Bm/Bp standard (they appear only as RIGHT factors)
         x, Phi, PhiT, PT, Bm, Bp, S, z = aug
         lam_m, lam_p, u = u_of(tau)
-        fv, AT, BT = fv_jac_soa(x, u)
+        fv, AT, BT = (fv_jac_soa if lane_fanout else fv_jac_nofan)(x, u)
         sAT = sigma * AT                     # (sigma A)^T storage
         sBT = sigma * BT
         sA = transpose3(sAT)                 # (sigma A) standard storage

@@ -544,6 +544,7 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
     substitute: on hard subproblems it stalls where the cold init converges).
     """
     nx_pq = d.c_p.shape[-1]
+    d_raw = d
     if cfg.equilibrate:
         # Ruiz presolve (ops/equilibrate.py): the whole solve runs in scaled
         # coordinates; the returned state is unscaled at the bottom. Warm
@@ -824,6 +825,49 @@ def ipm_solve(d: StageSOCP, cfg: IPMConfig, init: IPMState | None = None,
         return i + 1, body(i, st)
 
     _, state = jax.lax.while_loop(cond, wbody, (jnp.asarray(0, jnp.int32), state))
+
     if cfg.equilibrate:
         state = equilibrate_mod.scale_state(eq_scales, state, nx_pq, False)
+
+    # Re-evaluate the infeasibility certificates at the FINAL iterate, in
+    # RAW coordinates against the ORIGINAL problem. Two reasons the in-loop
+    # checks alone miss real certificates: (a) the body computes them from
+    # each iteration's INCOMING state, but the ray often only clears the
+    # threshold on the very step that also trips the stall-exit (an
+    # unbounded sigma grows ~5x/iteration until the regularized KKT pins
+    # it); (b) the loop runs in Ruiz-scaled coordinates where the
+    # certificate's numerator/denominator pick up different row/column
+    # scale factors and the scale-invariant ratio is distorted.
+    def final_certs(st: IPMState):
+        x, y, s, z = st.x, st.y, st.s, st.z
+        dr = d_raw
+        hr = socp.cone_h(dr)
+        cr = socp.objective(dr)
+        Pxw = x.w * ((1.0 - dr.free_w) + dr.Q_w)
+        if dr.Q_r1.shape[1]:
+            Pxw = Pxw + jnp.einsum(
+                "kiw,ki->kw", dr.Q_r1, jnp.einsum("kiw,kw->ki", dr.Q_r1, x.w)
+            )
+        Px = Primal(w=Pxw, p=jnp.zeros_like(x.p), q=jnp.zeros_like(x.q),
+                    sig=x.sig * (1.0 - dr.free_sig + dr.Q_sig))
+        aygz = socp.primal_axpy(socp.apply_AT(dr, y),
+                                socp.apply_GT(dr, z), 1.0)
+        by_hz = jnp.sum(dr.b * y) + C.inner(hr, z)
+        pinf_num = jnp.sqrt(socp.primal_inner(aygz, aygz))
+        prim_now = (by_hz < 0.0) & (pinf_num < tol_infeas * (-by_hz))
+        ax = socp.apply_A(dr, x)
+        gx = socp.apply_G(dr, x)
+        gxs = {k: gx[k] + s[k] for k in gx}
+        cx = socp.primal_inner(cr, x)
+        dinf_num = jnp.sqrt(
+            socp.primal_inner(Px, Px) + jnp.sum(ax * ax) + C.inner(gxs, gxs)
+        )
+        dual_now = (cx < 0.0) & (dinf_num < tol_infeas * (-cx))
+        return prim_now, dual_now
+
+    prim_f, dual_f = final_certs(state)
+    state = state._replace(
+        prim_infeas=state.prim_infeas | (~state.converged & prim_f),
+        dual_infeas=state.dual_infeas | (~state.converged & dual_f),
+    )
     return state

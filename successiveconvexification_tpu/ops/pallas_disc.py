@@ -63,8 +63,9 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
     nx, nu = model.nx, model.nu
     dtype = xk.dtype
     L = xk.shape[-1]
-    T = min(LANE_TILE, max(128, L))
-    T = 128 if L < 128 else T
+    # lane tile MUST be a multiple of the 128-lane vreg width (a 196-lane
+    # block aborts Mosaic's layout checks); 256 amortizes grid overhead
+    T = 128 if L <= 128 else LANE_TILE
     Lp = ((L + T - 1) // T) * T
 
     def padl(a):  # trailing-lane pad
@@ -98,11 +99,17 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
         u = u_ref[:, :]
         up = up_ref[:, :]
         sg = p_ref[P - 1, :]
+        # lane_fanout=False: Mosaic rejects the lane-concatenated jacobian
+        # fan-out (see discretize.fv_jac_nofan); per-direction jvps compile
         A, Bm, Bp, S, z, x_end = _aug_rk4_soa(
-            model, params_t, x, u, up, sg, h, substeps, foh)
-        a_out[:, :, :] = A
-        bm_out[:, :, :] = Bm
-        bp_out[:, :, :] = Bp
+            model, params_t, x, u, up, sg, h, substeps, foh,
+            lane_fanout=False)
+        # row-by-row stores (leading-index on both sides): a full rank-3
+        # store is the one op class the probe battery could not clear
+        for i in range(A.shape[0]):
+            a_out[i, :, :] = A[i]
+            bm_out[i, :, :] = Bm[i]
+            bp_out[i, :, :] = Bp[i]
         sv_out[:, :] = S
         z_out[:, :] = z
         xe_out[:, :] = x_end

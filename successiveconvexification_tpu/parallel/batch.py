@@ -185,7 +185,8 @@ def _repack_device(pb, cur: ScvxState, idx: jnp.ndarray, bucket: int,
 
 def solve_batch_compact_device(model: Model, params_batch, cfg: SolverConfig,
                                chunk: int = 10,
-                               min_bucket: int = 64) -> ScvxState:
+                               min_bucket: int = 64,
+                               st0: Optional[ScvxState] = None) -> ScvxState:
     """solve_batch with DEVICE-SIDE compaction of unconverged lanes.
 
     Same tail-repacking idea as ``solve_batch_compact`` (converged lanes stop
@@ -203,7 +204,10 @@ def solve_batch_compact_device(model: Model, params_batch, cfg: SolverConfig,
     """
     max_iters = cfg.scvx.max_iters
     B = jnp.shape(jax.tree.leaves(params_batch)[0])[0]
-    st = jax.jit(jax.vmap(lambda p: scvx_init(model, p, cfg)))(params_batch)
+    if st0 is None:
+        st = jax.jit(jax.vmap(lambda p: scvx_init(model, p, cfg)))(params_batch)
+    else:
+        st = st0
 
     result = st
     idx = jnp.arange(B)
@@ -223,6 +227,40 @@ def solve_batch_compact_device(model: Model, params_batch, cfg: SolverConfig,
         pb, cur, idx = _repack_device(pb, cur, idx, bucket, max_iters)
         cur_size = bucket
     return result
+
+
+def solve_batch_seeded(model: Model, params_batch, cfg: SolverConfig,
+                       nominal_params=None, chunk: int = 10,
+                       min_bucket: int = 64) -> ScvxState:
+    """Nominal-seeded Monte-Carlo sweep: solve ONE nominal scenario cold,
+    then warm-start every dispersed lane from its trajectory.
+
+    This is how production dispersion analyses run (the reference's
+    single-trajectory workflow has no analog — SURVEY §3.4): the nominal
+    solution is an excellent initial iterate for every dispersed scenario,
+    and ``scvx_warm_start``'s STM correction propagates each lane's
+    initial-state offset through the nominal linearized dynamics, so lanes
+    start dynamically consistent to first order. Measured effect is a large
+    cut in per-lane iteration counts vs the cold sweep (see BASELINE.md);
+    the cold path remains the honest cold-start benchmark.
+
+    ``nominal_params``: the undispersed scenario. Default: the per-leaf MEAN
+    of the batch (for Gaussian dispersions this recovers the nominal).
+    """
+    from successiveconvexification_tpu.ops.scvx import (
+        scvx_solve,
+        scvx_warm_start,
+    )
+
+    if nominal_params is None:
+        nominal_params = jax.tree.map(
+            lambda a: jnp.mean(a, axis=0), params_batch)
+    nom = scvx_solve(model, nominal_params, cfg)
+    st0 = jax.jit(jax.vmap(
+        lambda p: scvx_warm_start(model, p, cfg, nom.X, nom.U, nom.sigma)
+    ))(params_batch)
+    return solve_batch_compact_device(model, params_batch, cfg, chunk=chunk,
+                                      min_bucket=min_bucket, st0=st0)
 
 
 def solve_batch_sharded(model: Model, params_batch, cfg: SolverConfig,
