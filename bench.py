@@ -31,8 +31,13 @@ import os
 import time
 
 # persistent compilation cache: the K=50 batched while_loop graph takes
-# minutes to compile on this 4-core host; cache it across bench runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# minutes to compile on this 4-core host; cache it across bench runs.
+# TPU-only: cached XLA:CPU AOT executables record compile-machine features
+# (prefer-no-scatter etc.) that may not match the executing host — XLA
+# warns "could lead to execution errors such as SIGILL", and a matching
+# segfault was observed in a CPU run that loaded them.
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp

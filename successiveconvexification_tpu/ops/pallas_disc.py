@@ -1,18 +1,36 @@
 """Pallas kernel for the RK4 multiple-shooting linearization (discretize).
 
-After the IPM fusion, discretize is the largest SCvx stage (isolated: 104 ms
-/ 10.9 GB at B=256 K=50). The traffic is the RK4 carry — 7 augmented tensors
-(Phi/P 14x14, Bm/Bp 14x3, x/S/z 14) re-materialized through HBM at every one
-of 4 x substeps stage evaluations, each padded from (..., 14, 14) to
-(..., 16, 128) tiles. The pure-XLA batch-last rewrite (ops/discretize.py
-_aug_rk4_soa) did not stick: XLA re-normalizes physical layouts.
+Runs the WHOLE interval integration per lane tile inside VMEM: one grid
+step = one (B x interval) lane tile, the full substep loop, zero HBM
+traffic between stages. The kernel body calls the same ``_aug_rk4_soa``
+CONTRACT-form code as the XLA path (dynamics and Jacobians trace through
+``jax.vmap(model.f, in_axes=-1)`` / per-direction jvp into Mosaic vector
+ops), so it stays model-generic with no hand-written derivatives.
 
-This kernel runs the WHOLE interval integration per lane tile inside VMEM:
-one grid step = one (B x interval) lane tile, the full substep loop, zero
-HBM traffic between stages. The kernel body literally calls the same
-_aug_rk4_soa code on loaded values — dynamics and Jacobians trace through
-``jax.vmap(model.f, in_axes=-1)`` / jvp into Mosaic vector ops, so it stays
-model-generic with no hand-written derivatives.
+STATUS (measured v5e, 2026-08-19): opt-in via ``SCVX_PALLAS_DISC=1``,
+NOT default. The kernel compiles, runs, and matches the XLA SoA twin to
+9e-8 at L=12544 — but executes at 151 ms vs 55 ms for XLA's own fusion of
+the identical CONTRACT graph: the (a, 1, T) broadcast-contract codegen is
+VPU-inefficient at the 128-lane tile this body is pinned to. The rewrite
+this kernel forced (leading-axis contraction algebra) is what took the
+XLA discretize stage from 104.7 to 55.4 ms, so the fast path today is XLA.
+
+Mosaic viability findings (each was a distinct compile abort on v5e,
+reproduced and fixed in round 4 — kept here as the checklist for any
+future kernel over small-matrix SoA algebra):
+  - mixed int+newaxis indexing (``a[:, j, None, :]``) emits rank-3
+    gathers: "Only 2D gather is supported". Use expand_dims + leading
+    index only.
+  - size-1 SUBLANE slices at nonzero offset
+    (``lax.slice_in_dim(a, j, j+1, axis=1)``) abort layout checks
+    ("offsets_[0] < tiling_[0]"). Keep every contracted index LEADING.
+  - lane-axis concat fan-out (``jnp.concatenate([x]*17, -1)`` + slice
+    back) aborts the same check even without jvp. Use one jvp per
+    tangent direction instead.
+  - full rank-3 stores (``o_ref[:, :, :] = A``) abort
+    ("limits[i] <= dim(i)"). Store row-by-row via leading index.
+  - lane tiles must be EXACTLY 128 here: multiples like 256 re-trigger
+    the layout aborts through the broadcast-contract intermediates.
 """
 
 from __future__ import annotations
@@ -24,7 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from successiveconvexification_tpu.ops.pallas_kkt import _interpret
 
-LANE_TILE = 256
+# EXACTLY one vreg of lanes: measured on v5e, the kernel body lowers clean
+# at T=128 but Mosaic aborts ("limits[i] <= dim(i)") at T=256 — the (a,1,T)
+# broadcast-contract intermediates only relayout correctly within a single
+# lane vreg. More grid steps are cheap (the body is compute-dense).
+LANE_TILE = 128
 
 
 def _pack_params(params, L):
@@ -64,8 +86,8 @@ def discretize_lanes(model, pflat, xk, uk, ukp1, sig, h, substeps, foh):
     dtype = xk.dtype
     L = xk.shape[-1]
     # lane tile MUST be a multiple of the 128-lane vreg width (a 196-lane
-    # block aborts Mosaic's layout checks); 256 amortizes grid overhead
-    T = 128 if L <= 128 else LANE_TILE
+    # block aborts Mosaic's layout checks); see LANE_TILE for why 128
+    T = LANE_TILE
     Lp = ((L + T - 1) // T) * T
 
     def padl(a):  # trailing-lane pad
