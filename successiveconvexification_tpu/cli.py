@@ -124,7 +124,7 @@ def cmd_solve(args, overrides):
 def cmd_sweep(args, overrides):
     from successiveconvexification_tpu.parallel.batch import (
         batch_stats, run_batch, sample_dispersions, solve_batch,
-        solve_batch_compact, solve_batch_compact_device,
+        solve_batch_compact, solve_batch_compact_device, solve_batch_seeded,
     )
     from successiveconvexification_tpu.io import checkpoint as ckpt
     from successiveconvexification_tpu.utils.metrics import JsonlLogger
@@ -162,6 +162,12 @@ def cmd_sweep(args, overrides):
                 model, pb, cfg, ckpt_path=args.checkpoint,
                 ckpt_every=args.ckpt_every, resume=not args.no_resume,
             )
+    elif args.seeded:
+        # production dispersion-analysis mode: one cold nominal solve,
+        # every dispersed lane warm-started from it (STM-corrected), then
+        # the device-compaction driver
+        def run(pb):
+            return solve_batch_seeded(model, pb, cfg, nominal_params=params)
     elif args.compact == "device":
         def run(pb):
             return solve_batch_compact_device(model, pb, cfg)
@@ -242,6 +248,10 @@ def main(argv=None):
                     help="repack unconverged lanes so finished lanes stop "
                          "costing compute: 'device' = in-graph argsort-gather "
                          "(TPU default), 'host' = legacy host repacking")
+    pw.add_argument("--seeded", action="store_true",
+                    help="nominal-seeded dispersion sweep: solve the "
+                         "undispersed scenario once, STM-warm-start every "
+                         "lane from it (measured ~2x fewer iterations/lane)")
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--metrics", default=None)
     pw.add_argument("--profile", default=None, metavar="DIR",

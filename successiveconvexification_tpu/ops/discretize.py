@@ -48,6 +48,24 @@ class Discretization(NamedTuple):
     defect: jnp.ndarray  # (K-1, nx)   x_prop - x_{k+1} (multiple-shooting defect)
 
 
+# Unroll threshold for the RK4 substep loops: at production substep counts
+# (4-10) unrolling lets XLA fuse the whole chain (the lax.fori_loop carry
+# otherwise materializes ~6.9 GB/call through HBM at trip boundaries,
+# measured B=256 K=50); but accuracy studies call propagate/discretize with
+# substeps up to 200, where an unrolled graph takes tens of minutes to
+# compile on CPU -- those keep the loop.
+_UNROLL_SUBSTEPS = 16
+
+
+def _run_substeps(rk4_step, carry, substeps, dtype):
+    if substeps <= _UNROLL_SUBSTEPS:
+        for i in range(substeps):
+            carry = rk4_step(jnp.asarray(i, dtype), carry)
+        return carry
+    return jax.lax.fori_loop(
+        0, substeps, lambda i, c: rk4_step(i.astype(dtype), c), carry)
+
+
 def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh):
     """Integrate the augmented ODE over one interval; returns the affine maps."""
     nx, nu = model.nx, model.nu
@@ -87,7 +105,7 @@ def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, fo
     )
 
     def rk4_step(i, aug):
-        tau = i.astype(dtype) * dt
+        tau = jnp.asarray(i, dtype) * dt
         k1 = aug_dot(tau, aug)
         k2 = aug_dot(tau + dt / 2, jax.tree.map(lambda a, k: a + dt / 2 * k, aug, k1))
         k3 = aug_dot(tau + dt / 2, jax.tree.map(lambda a, k: a + dt / 2 * k, aug, k2))
@@ -97,7 +115,7 @@ def _interval_aug_rk4(model: Model, params, xk, uk, ukp1, sigma, h, substeps, fo
             aug, k1, k2, k3, k4,
         )
 
-    aug = jax.lax.fori_loop(0, substeps, rk4_step, aug)
+    aug = _run_substeps(rk4_step, aug, substeps, dtype)
     x_end, Phi, P, Bm, Bp, S, z = aug
     # Convert interval-local integrals to node-to-node maps: M_k = Phi(h) @ integral.
     # The retraction composition (project_jac) is applied by discretize() on
@@ -221,12 +239,22 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh,
     #     CONTRACT(X, Y)[a, b] = sum_j X[j, a] Y[j, b]   (= X^T Y),
     # an unrolled sum of (a, 1, T) x (1, b, T) broadcast mul-adds. XLA fuses
     # the same code into one loop fusion on the non-kernel path.
+    def _tree_sum(terms):
+        # balanced-tree reduction: a 14-term linear add chain nested inside
+        # 32 unrolled RK stages builds expression trees deep enough to
+        # overflow XLA:CPU compiler-thread stacks (observed as intermittent
+        # segfaults in long CI runs); log-depth trees also expose ILP
+        while len(terms) > 1:
+            nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
     def contract(X, Y):
         m = X.shape[0]
-        acc = X[0][:, None, :] * Y[0][None, :, :]
-        for j in range(1, m):
-            acc = acc + X[j][:, None, :] * Y[j][None, :, :]
-        return acc
+        return _tree_sum(
+            [X[j][:, None, :] * Y[j][None, :, :] for j in range(m)])
 
     def contractv(X, v):
         # sum_j X[j] * v[j] == (X^T v): one vectorized mul + leading reduce
@@ -239,10 +267,8 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh,
         eye_rows = [
             (jax.lax.broadcasted_iota(jnp.int32, (m, T), 0) == j
              ).astype(X.dtype) for j in range(m)]
-        acc = X[0][:, None, :] * eye_rows[0][None, :, :]
-        for j in range(1, m):
-            acc = acc + X[j][:, None, :] * eye_rows[j][None, :, :]
-        return acc
+        return _tree_sum(
+            [X[j][:, None, :] * eye_rows[j][None, :, :] for j in range(m)])
 
     def u_of(tau):
         lam_p = tau / h if foh else jnp.zeros((), dtype)
@@ -285,7 +311,7 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh,
     )
 
     def rk4_step(i, aug):
-        tau = i.astype(dtype) * dt
+        tau = jnp.asarray(i, dtype) * dt
         k1 = aug_dot(tau, aug)
         k2 = aug_dot(tau + dt / 2, jax.tree.map(lambda a, k: a + dt / 2 * k, aug, k1))
         k3 = aug_dot(tau + dt / 2, jax.tree.map(lambda a, k: a + dt / 2 * k, aug, k2))
@@ -295,7 +321,7 @@ def _aug_rk4_soa(model: Model, params, xk, uk, ukp1, sigma, h, substeps, foh,
             aug, k1, k2, k3, k4,
         )
 
-    aug = jax.lax.fori_loop(0, substeps, rk4_step, aug)
+    aug = _run_substeps(rk4_step, aug, substeps, dtype)
     x_end, Phi, PhiT, PT, Bm, Bp, S, z = aug
     A_k = Phi
     Bm_k, Bp_k = contract(PhiT, Bm), contract(PhiT, Bp)
@@ -491,7 +517,7 @@ def _propagate_core(model: Model, substeps: int, foh: bool):
                 k4 = xdot(tau + dt, x + dt * k3)
                 return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
-            return jax.lax.fori_loop(0, substeps, rk4_step, xk)
+            return _run_substeps(rk4_step, xk, substeps, X.dtype)
 
         return jax.vmap(one)(X[:-1], U[:-1], U[1:])
 
@@ -556,7 +582,7 @@ def _propagate_core(model: Model, substeps: int, foh: bool):
             k4 = xdot(tau + dt, x + dt * k3)
             return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
-        x_end = jax.lax.fori_loop(0, substeps, rk4_step, xk)
+        x_end = _run_substeps(rk4_step, xk, substeps, X.dtype)
         x_end = jnp.transpose(x_end.reshape(nx, B, Lk), (1, 2, 0))
         return x_end, True
 

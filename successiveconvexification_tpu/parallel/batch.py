@@ -231,7 +231,8 @@ def solve_batch_compact_device(model: Model, params_batch, cfg: SolverConfig,
 
 def solve_batch_seeded(model: Model, params_batch, cfg: SolverConfig,
                        nominal_params=None, chunk: int = 10,
-                       min_bucket: int = 64) -> ScvxState:
+                       min_bucket: int = 64, nominal_solution=None,
+                       tr_radius=None) -> ScvxState:
     """Nominal-seeded Monte-Carlo sweep: solve ONE nominal scenario cold,
     then warm-start every dispersed lane from its trajectory.
 
@@ -246,18 +247,27 @@ def solve_batch_seeded(model: Model, params_batch, cfg: SolverConfig,
 
     ``nominal_params``: the undispersed scenario. Default: the per-leaf MEAN
     of the batch (for Gaussian dispersions this recovers the nominal).
+    ``nominal_solution``: optional (X, U, sigma) from an already-solved
+    nominal — a campaign solves the nominal ONCE and amortizes it over
+    every batch, so callers doing that should pass it in here.
+    ``tr_radius``: initial trust radius for the seeded lanes (see
+    scvx_warm_start; None = its defect-scaled default).
     """
     from successiveconvexification_tpu.ops.scvx import (
         scvx_solve,
         scvx_warm_start,
     )
 
-    if nominal_params is None:
-        nominal_params = jax.tree.map(
-            lambda a: jnp.mean(a, axis=0), params_batch)
-    nom = scvx_solve(model, nominal_params, cfg)
+    if nominal_solution is None:
+        if nominal_params is None:
+            nominal_params = jax.tree.map(
+                lambda a: jnp.mean(a, axis=0), params_batch)
+        nom = scvx_solve(model, nominal_params, cfg)
+        nominal_solution = (nom.X, nom.U, nom.sigma)
+    Xn, Un, sn = nominal_solution
     st0 = jax.jit(jax.vmap(
-        lambda p: scvx_warm_start(model, p, cfg, nom.X, nom.U, nom.sigma)
+        lambda p: scvx_warm_start(model, p, cfg, Xn, Un, sn,
+                                  tr_radius=tr_radius)
     ))(params_batch)
     return solve_batch_compact_device(model, params_batch, cfg, chunk=chunk,
                                       min_bucket=min_bucket, st0=st0)
