@@ -31,16 +31,28 @@ import os
 import time
 
 # persistent compilation cache: the K=50 batched while_loop graph takes
-# minutes to compile on this 4-core host; cache it across bench runs.
+# minutes to compile on this 4-core host, and the axon REMOTE compile
+# service adds a high, wildly variable per-program latency (measured
+# 1.5 s .. 167 s for a trivial one-matmul jit in the same session); cache
+# every compiled executable across bench runs.
 # TPU-only: cached XLA:CPU AOT executables record compile-machine features
 # (prefer-no-scatter etc.) that may not match the executing host — XLA
 # warns "could lead to execution errors such as SIGILL", and a matching
 # segfault was observed in a CPU run that loaded them.
-if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    # NOTE: must go through jax.config.update, not JAX_COMPILATION_CACHE_DIR:
+    # this sandbox's sitecustomize.py imports jax to register the axon PJRT
+    # plugin BEFORE any of bench.py runs, so env vars written here are never
+    # seen by jax's config init (the silent-no-cache failure of rounds 1-3).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    # cache even sub-second programs: the remote-compile round trip costs
+    # orders of magnitude more than the local compile time jax measures
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _bench_sol(model, pb, cfg, B):
