@@ -42,7 +42,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+# Gate on the ACTUAL backend, not the env var: the SIGILL/segfault hazard
+# (cached CPU AOT executables recording mismatched host features) also fires
+# when JAX silently falls back to CPU with JAX_PLATFORMS unset, e.g. the
+# axon tunnel being down (ADVICE r4).
+if jax.default_backend() != "cpu":
     # NOTE: must go through jax.config.update, not JAX_COMPILATION_CACHE_DIR:
     # this sandbox's sitecustomize.py imports jax to register the axon PJRT
     # plugin BEFORE any of bench.py runs, so env vars written here are never
@@ -277,6 +281,21 @@ def main():
     # max ~90 iterations) runs in small repacked buckets; one XLA compile per
     # bucket size (persistent cache amortizes)
     min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "32"))
+    # Repack schedule. Each distinct bucket size compiles its own _solve_chunk
+    # while_loop monster — the dominant cold-cache cost (r4's driver bench
+    # rc=124 at >=24 min compiling them, VERDICT r4 missing #1). Round-5
+    # on-chip A/B (logs/TPU_AB_r05.log, all 256/256 converged, unroll-0 tree):
+    #   full ladder 128/64/32   52.45 conv-solves/s   (4 monster compiles)
+    #   64/32                   46.72                 (3)
+    #   32 only                 42.0                  (2)
+    # The ladder stays the default — with the r5 fori_loop discretize default
+    # the 4-monster cold compile is ~15 min (vs r4's 44), inside the driver
+    # budget, and the shipped-default graphs are kept warm in the persistent
+    # cache. BENCH_BUCKETS="64,32" bounds the schedule when compile wall
+    # matters more than the last 12%.
+    bk_env = os.environ.get("BENCH_BUCKETS", "")
+    bucket_sizes = (tuple(int(x) for x in bk_env.split(",") if x)
+                    if bk_env else None)
     if seeded:
         # nominal-seeded Monte-Carlo sweep (production dispersion-analysis
         # mode): ONE cold nominal solve per campaign, every dispersed lane
@@ -300,7 +319,8 @@ def main():
             return solve_batch_seeded(model, pb, cfg,
                                       nominal_solution=nom_sol,
                                       tr_radius=seed_tr,
-                                      min_bucket=min_bucket)
+                                      min_bucket=min_bucket,
+                                      bucket_sizes=bucket_sizes)
     elif compact == "device":
         from successiveconvexification_tpu.parallel.batch import (
             solve_batch_compact_device,
@@ -308,7 +328,8 @@ def main():
 
         def run(pb):
             return solve_batch_compact_device(model, pb, cfg,
-                                              min_bucket=min_bucket)
+                                              min_bucket=min_bucket,
+                                              bucket_sizes=bucket_sizes)
     elif compact in ("1", "host"):
         from successiveconvexification_tpu.parallel.batch import (
             solve_batch_compact,
@@ -323,11 +344,16 @@ def main():
     # warmup/compile. NOTE: the axon tunnel can return from block_until_ready
     # before remote execution finishes — a host transfer (jnp.sum -> float) is
     # the only honest completion barrier here.
+    t_warm = time.perf_counter()
     out = run(pb)
     _ = float(jnp.sum(out.X))
+    warmup_s = time.perf_counter() - t_warm
 
+    # ONE timed rep by default: the measurement is ~5-11 s while a cold
+    # compile is minutes — doubling an 11 s sample after a 15-minute compile
+    # is what pushed r4's driver bench past its wall (VERDICT r4 weak #2).
     t0 = time.perf_counter()
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "1"))
     for i in range(reps):
         out = run(pb)
         _ = float(jnp.sum(out.X))
@@ -363,6 +389,7 @@ def main():
         "max_defect_l1": float(jnp.max(out.defect_nl)),
         "mean_viol": float(jnp.mean(out.viol_nl)),
         "mean_sigma": float(jnp.mean(out.sigma)),
+        "warmup_s": round(warmup_s, 1),
         "device": str(jax.devices()[0]),
     }
     if seeded:
@@ -370,6 +397,29 @@ def main():
         # amortized over every batch of the sweep in production
         result["nominal_solve_s"] = round(nominal_s, 2)
     print(json.dumps(result))
+
+    # Perf-regression gate (SURVEY §4.2 last pyramid row; VERDICT r4 item 7):
+    # opt-in via BENCH_GATE=1 so the driver's plain `python bench.py` still
+    # records a number even on a slow day; the battery/CI scripts set it.
+    # Exits nonzero when the measured value regresses >10% against the
+    # committed bench_baseline.json entry for this metric.
+    if os.environ.get("BENCH_GATE", "0") == "1":
+        import sys
+        base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+        try:
+            with open(base_path) as f:
+                base = json.load(f)
+        except FileNotFoundError:
+            base = {}
+        ref = base.get(result["metric"])
+        if ref is not None and result["value"] < 0.9 * float(ref):
+            print(json.dumps({
+                "metric": "perf_regression_gate", "status": "FAIL",
+                "value": result["value"], "baseline": ref,
+                "threshold": round(0.9 * float(ref), 2),
+            }), file=sys.stderr)
+            sys.exit(3)
 
 
 if __name__ == "__main__":
